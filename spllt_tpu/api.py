@@ -1,0 +1,190 @@
+"""User API: analyse / factor / solve (+ wait / finalize no-ops).
+
+Mirrors the reference's three-phase interface
+(``spllt_analyse`` / ``spllt_factor`` / ``spllt_solve`` with the
+akeep/fkeep split, /root/reference/src/spllt_mod.F90,
+doc/source/subroutines.rst): the symbolic object is reusable across
+repeated factorizations of the same pattern; the numeric object holds the
+factor pool and compiled executors.
+
+Jobs (reference job table, include/spllt_iface.h):
+  job=0 both, job=1 forward only, job=2 backward only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .analyse.analyse import SymbolicFactor, analyse
+from .errors import NotPositiveDefiniteError
+from .inform import Inform
+from .options import Options
+from .plan.blocking import BlockPlan, build_block_plan
+from .plan.factor_tasks import FactorPlan, build_factor_plan
+from .plan.solve_tasks import SolvePlan, build_solve_plan
+from .sparse.csc import CscMatrix
+
+__all__ = ["analyse", "factor", "solve", "SymbolicFactor", "NumericFactor",
+           "Options"]
+
+
+@dataclasses.dataclass
+class NumericFactor:
+    """fkeep analogue: block plan + factor pool + compiled executors."""
+
+    symb: SymbolicFactor
+    plan: BlockPlan
+    fplan: FactorPlan
+    splan: SolvePlan
+    pool: object                 # np.ndarray (stf) or jax array (batched)
+    values_perm: np.ndarray      # permuted values actually factored
+    options: Options
+    inform: Inform
+    _solve_execs: dict = dataclasses.field(default_factory=dict)
+
+    @property
+    def mode(self) -> str:
+        return self.options.mode
+
+
+def _plans(symb: SymbolicFactor, options: Options):
+    plan = build_block_plan(symb, options.nb)
+    fplan = build_factor_plan(symb, plan)
+    splan = build_solve_plan(symb, plan)
+    return plan, fplan, splan
+
+
+def factor(symb: SymbolicFactor, a: CscMatrix | None = None,
+           options: Options | None = None) -> NumericFactor:
+    """Numeric factorization.  ``a`` defaults to the matrix captured at
+    analyse time; passing a new matrix with the same pattern refactorizes
+    (the akeep-reuse workflow of the reference)."""
+    options = options or symb.options
+    values = (symb.a_perm.values if a is None
+              else symb.a_perm_values_of(a) if hasattr(
+                  symb, "a_perm_values_of") else _permuted_values(symb, a))
+    plan, fplan, splan = _plans(symb, options)
+
+    inform = dataclasses.replace(symb.inform)
+    inform.num_blocks = plan.nblocks
+    inform.num_levels = fplan.nlevels
+    inform.num_tasks = fplan.num_tasks
+
+    if options.mode == "stf":
+        from .numeric.assemble import assemble_np
+        from .numeric.stf import factorize_np
+
+        pool = assemble_np(plan, values, dtype=np.float64)
+        pool = factorize_np(pool, fplan)
+    else:
+        import jax.numpy as jnp
+
+        from .numeric.assemble import assemble_jax
+        from .numeric.factor import FactorExecutor
+        from .utils.jaxconfig import ensure_x64
+
+        if options.dtype == "float64":
+            ensure_x64()
+        dtype = jnp.float64 if options.dtype == "float64" else jnp.float32
+        pool = assemble_jax(plan, values, dtype)
+        ex = FactorExecutor(fplan, dtype=dtype)
+        pool = ex(pool)
+        pool.block_until_ready()
+        # positive-definiteness check: NaNs appear on failure
+        if bool(jnp.isnan(pool[:, 0, 0]).any()):
+            raise NotPositiveDefiniteError()
+
+    return NumericFactor(symb=symb, plan=plan, fplan=fplan, splan=splan,
+                         pool=pool, values_perm=np.asarray(values),
+                         options=options, inform=inform)
+
+
+def _permuted_values(symb: SymbolicFactor, a: CscMatrix) -> np.ndarray:
+    """Re-permute values of a new matrix with the analysed pattern."""
+    ap = a.permute(symb.perm)
+    if (not np.array_equal(ap.colptr, symb.a_perm.colptr)
+            or not np.array_equal(ap.rowind, symb.a_perm.rowind)):
+        raise ValueError("matrix pattern differs from analysed pattern")
+    return ap.values
+
+
+def solve(num: NumericFactor, b: np.ndarray, job: int = 0,
+          refine: int | None = None) -> np.ndarray:
+    """Solve A x = b (job=0), L y = Pb (job=1) or Lᵀ(Px) = y (job=2).
+
+    ``b`` is [n] or [n, nrhs] in user ordering.  For job=0 with
+    ``refine`` > 0 steps (default from options), runs f64 iterative
+    refinement on the host residual — restoring double-precision backward
+    error from the f32 factor (TPU-idiomatic replacement for the
+    reference's all-double arithmetic).
+    """
+    symb = num.symb
+    n = symb.n
+    one_d = b.ndim == 1
+    bb = b.reshape(n, -1).astype(np.float64)
+    nrhs = bb.shape[1]
+    refine = num.options.refine if refine is None else refine
+    if job != 0:
+        refine = 0
+
+    x = _solve_once(num, bb, job)
+    if job == 0 and refine > 0:
+        for _ in range(refine):
+            r = bb - _user_matvec(num, x)
+            dx = _solve_once(num, r, 0)
+            x = x + dx
+    return x[:, 0] if one_d else x
+
+
+def _user_matvec(num: NumericFactor, x: np.ndarray) -> np.ndarray:
+    """A·x in user ordering with the factored values (float64)."""
+    symb = num.symb
+    ap = CscMatrix(symb.n, symb.a_perm.colptr, symb.a_perm.rowind,
+                   num.values_perm)
+    xp = x[symb.perm]
+    yp = ap.matvec(xp)
+    y = np.empty_like(yp)
+    y[symb.perm] = yp
+    return y
+
+
+def _solve_once(num: NumericFactor, bb: np.ndarray, job: int) -> np.ndarray:
+    symb = num.symb
+    n = symb.n
+    nrhs = bb.shape[1]
+    # permute into factor ordering, pad dump row
+    xp = np.zeros((n + 1, nrhs), dtype=np.float64)
+    xp[:n] = bb[symb.perm]
+
+    if num.options.mode == "stf":
+        from .numeric.solve import solve_bwd_np, solve_fwd_np
+
+        if job in (0, 1):
+            xp = solve_fwd_np(num.pool, num.splan, xp)
+        if job in (0, 2):
+            xp = solve_bwd_np(num.pool, num.splan, xp)
+        out_p = xp[:n]
+    else:
+        import jax.numpy as jnp
+
+        from .numeric.solve import SolveExecutor
+
+        key = (nrhs,)
+        ex = num._solve_execs.get(key)
+        if ex is None:
+            dtype = (jnp.float64 if num.options.dtype == "float64"
+                     else jnp.float32)
+            ex = SolveExecutor(num.splan, nrhs, dtype=dtype)
+            num._solve_execs[key] = ex
+        xd = xp
+        if job in (0, 1):
+            xd = ex.fwd(num.pool, xd)
+        if job in (0, 2):
+            xd = ex.bwd(num.pool, xd)
+        out_p = np.asarray(xd)[:n].astype(np.float64)
+
+    out = np.empty((n, nrhs), dtype=np.float64)
+    out[symb.perm] = out_p
+    return out

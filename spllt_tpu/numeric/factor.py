@@ -1,0 +1,156 @@
+"""Batched level-scheduled factorization under one jit (the TPU runtime).
+
+Each DAG level becomes at most four batched device ops over the block pool:
+
+  updbt : gather rows via position maps → batched GEMM → scatter-add
+  syrk  : gather tiles → batched GEMM → scatter-add
+  potrf : gather diag tiles → masked+padded batched Cholesky + trailing
+          triangular solve (rectangular diagonal blocks handled in-tile,
+          reference ``spllt_factor_diag_block``,
+          /root/reference/src/spllt_kernels_mod.F90:1168-1189)
+  trsm  : gather tiles → batched right triangular solve
+
+The whole schedule is traced once and compiled by XLA; there is no runtime
+scheduler (this replaces OMP `task depend` / StarPU handles / PaRSEC flows,
+SURVEY §2.10).  Padding invariant: kernel outputs are masked to
+``col < blk_n`` so padded columns stay exactly zero and updates can consume
+full tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["FactorExecutor"]
+
+
+def _potrf_batch(tiles, kvec, nb):
+    """Batched potrf of (possibly rectangular) diagonal tiles.
+
+    tiles: [B, nb, nb]; kvec: [B] number of factor columns.
+    Returns [[chol(D), 0], [B·chol(D)^{-T}, 0]].
+    """
+    f32 = tiles.dtype
+    k = kvec[:, None, None]
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (1, nb, nb), 1)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (1, nb, nb), 2)
+    in_d = (rowi < k) & (coli < k)
+    low = jnp.where(in_d & (rowi >= coli), tiles, jnp.zeros((), f32))
+    sym = low + jnp.where(in_d & (rowi > coli), tiles,
+                          jnp.zeros((), f32)).swapaxes(-1, -2)
+    pad_eye = ((rowi == coli) & (rowi >= k)).astype(f32)
+    c = jax.lax.linalg.cholesky(sym + pad_eye)
+    below = jnp.where(rowi >= k, tiles, jnp.zeros((), f32))
+    bp = jax.lax.linalg.triangular_solve(
+        c, below, left_side=False, lower=True, transpose_a=True)
+    out = jnp.where(rowi < k, c, bp)
+    return out * (coli < k).astype(f32)
+
+
+def _trsm_batch(diag_tiles, dst_tiles, kvec, nb):
+    """dst ← dst · L^{-T} restricted to the first k columns."""
+    f32 = dst_tiles.dtype
+    k = kvec[:, None, None]
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (1, nb, nb), 1)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (1, nb, nb), 2)
+    c = diag_tiles + ((rowi == coli) & (rowi >= k)).astype(f32)
+    x = jax.lax.linalg.triangular_solve(
+        c, dst_tiles, left_side=False, lower=True, transpose_a=True)
+    return x * (coli < k).astype(f32)
+
+
+class FactorExecutor:
+    """Compiles and runs the level schedule for one FactorPlan."""
+
+    def __init__(self, fp, dtype=jnp.float32, matmul_precision="highest"):
+        self.fp = fp
+        self.dtype = dtype
+        self.precision = matmul_precision
+        self.nb = fp.nb
+        self._args = self._device_arrays()
+        self._fn = jax.jit(self._build(), donate_argnums=(0,))
+
+    # ------------------------------------------------------------------ #
+    def _device_arrays(self):
+        fp = self.fp
+        i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)
+        return dict(
+            potrf_blk=i32(fp.potrf_blk), potrf_k=i32(fp.potrf_k),
+            trsm_diag=i32(fp.trsm_diag), trsm_dst=i32(fp.trsm_dst),
+            trsm_k=i32(fp.trsm_k),
+            syrk_src_i=i32(fp.syrk_src_i), syrk_src_j=i32(fp.syrk_src_j),
+            syrk_dst=i32(fp.syrk_dst),
+            updbt_dst=i32(fp.updbt_dst), updbt_mr=i32(fp.updbt_mr),
+            updbt_mc=i32(fp.updbt_mc), updbt_kthr=i32(fp.updbt_kthr),
+            updbt_srcbase=i32(fp.updbt_srcbase),
+            maps=i32(fp.maps), blk_n=i32(fp.blk_n),
+        )
+
+    # ------------------------------------------------------------------ #
+    def _build(self):
+        fp = self.fp
+        nb = self.nb
+        prec = self.precision
+
+        def bmm_nt(a, b):  # a @ b^T batched
+            return jax.lax.dot_general(
+                a, b, (((2,), (2,)), ((0,), (0,))),
+                precision=prec, preferred_element_type=a.dtype)
+
+        def run(pool, args):
+            iota = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+            poolf = pool.reshape(-1, nb)
+            for lvl in range(1, fp.nlevels + 1):
+                # ---- inter-node updates ---------------------------------- #
+                s, e = int(fp.updbt_ptr[lvl]), int(fp.updbt_ptr[lvl + 1])
+                if e > s:
+                    dst = args["updbt_dst"][s:e]
+                    pr = args["maps"][args["updbt_mr"][s:e]]
+                    pc = args["maps"][args["updbt_mc"][s:e]]
+                    thr = args["updbt_kthr"][s:e][:, None]
+                    base = args["updbt_srcbase"][s:e][:, None] * nb
+                    vr = pr >= thr
+                    vc = (pc >= thr) & (iota < args["blk_n"][dst][:, None])
+                    r = poolf[jnp.where(vr, base + pr, 0)]
+                    r = r * vr[..., None].astype(pool.dtype)
+                    c = poolf[jnp.where(vc, base + pc, 0)]
+                    c = c * vc[..., None].astype(pool.dtype)
+                    pool = pool.at[dst].add(-bmm_nt(r, c))
+                    poolf = pool.reshape(-1, nb)
+                # ---- intra-node updates ---------------------------------- #
+                s, e = int(fp.syrk_ptr[lvl]), int(fp.syrk_ptr[lvl + 1])
+                if e > s:
+                    si = args["syrk_src_i"][s:e]
+                    sj = args["syrk_src_j"][s:e]
+                    dst = args["syrk_dst"][s:e]
+                    u = bmm_nt(pool[si], pool[sj])
+                    pool = pool.at[dst].add(-u)
+                    poolf = pool.reshape(-1, nb)
+                # ---- potrf ----------------------------------------------- #
+                s, e = int(fp.potrf_ptr[lvl]), int(fp.potrf_ptr[lvl + 1])
+                if e > s:
+                    blk = args["potrf_blk"][s:e]
+                    out = _potrf_batch(pool[blk], args["potrf_k"][s:e], nb)
+                    pool = pool.at[blk].set(out)
+                    poolf = pool.reshape(-1, nb)
+                # ---- trsm ------------------------------------------------ #
+                s, e = int(fp.trsm_ptr[lvl]), int(fp.trsm_ptr[lvl + 1])
+                if e > s:
+                    diag = args["trsm_diag"][s:e]
+                    dst = args["trsm_dst"][s:e]
+                    out = _trsm_batch(pool[diag], pool[dst],
+                                      args["trsm_k"][s:e], nb)
+                    pool = pool.at[dst].set(out)
+                    poolf = pool.reshape(-1, nb)
+            return pool
+
+        return run
+
+    # ------------------------------------------------------------------ #
+    def __call__(self, pool):
+        return self._fn(jnp.asarray(pool, dtype=self.dtype), self._args)

@@ -1,0 +1,55 @@
+"""User options.
+
+TPU-native analogue of ``spllt_options``
+(/root/reference/src/spllt_data_mod.F90:260-286) and the C options struct
+(/root/reference/include/spllt_iface.h:14-47).  Compile-time CMake switches
+of the reference (RUNTIME, WITH_TRACE, ...) become runtime fields here —
+the "runtime" choice maps to ``mode``: 'stf' (sequential NumPy oracle,
+the reference's STF build) or 'batched' (level-scheduled jit program,
+replacing OMP/StarPU/PaRSEC).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+__all__ = ["Options"]
+
+
+@dataclasses.dataclass
+class Options:
+    # blocking --------------------------------------------------------------
+    nb: int = 256            # factorization tile size (ref default nb=256)
+    snb: int | None = None   # solve tile size (defaults to nb, like ref snb)
+    nemin: int = 32          # supernode amalgamation threshold (ref nemin=32)
+    # symbolic --------------------------------------------------------------
+    ordering: str = "amd"    # 'amd' | 'nd-grid' | 'rcm' | 'natural'
+    grid_shape: tuple | None = None  # for 'nd-grid'
+    prune_tree: bool = True  # subtree coarsening (ref prune_tree)
+    # execution -------------------------------------------------------------
+    mode: str = "batched"    # 'batched' (jit level schedule) | 'stf' (oracle)
+    dtype: str = "float32"   # pool dtype: 'float32' | 'float64'
+    refine: int = 2          # iterative-refinement steps in solve (f64 resid)
+    ndevices: int = 1        # target device count (ref ncpu/nworker)
+    min_width_blas: int = 8  # kept for parity (ref min_width_blas)
+    chunk: int = 10          # kept for parity (ref chunk, OMP dep combining)
+    # diagnostics -----------------------------------------------------------
+    trace: bool = False      # event tracing (ref WITH_TRACE / trace_mod)
+    timers: bool = False     # step timers (ref timer_mod)
+
+    def __post_init__(self):
+        if self.nb < 1:
+            raise ValueError(f"nb must be >= 1, got {self.nb}")
+        if self.snb is not None and self.snb < 1:
+            raise ValueError(f"snb must be >= 1, got {self.snb}")
+        if self.nemin < 1:
+            raise ValueError(f"nemin must be >= 1, got {self.nemin}")
+        if self.mode not in ("batched", "stf"):
+            raise ValueError(f"unknown mode {self.mode!r}")
+        if self.dtype not in ("float32", "float64"):
+            raise ValueError(f"unknown dtype {self.dtype!r}")
+        if self.ndevices < 1:
+            raise ValueError(f"ndevices must be >= 1, got {self.ndevices}")
+
+    def solve_nb(self) -> int:
+        return self.nb if self.snb is None else self.snb

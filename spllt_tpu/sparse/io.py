@@ -1,0 +1,132 @@
+"""Matrix readers: MatrixMarket and Rutherford-Boeing.
+
+The reference reads Rutherford-Boeing (``spllt_read_mat`` via SPRAL
+rb_read) and MatrixMarket (``--mm``) inputs
+(/root/reference/src/spllt_mod.F90:426-495).  Both readers return the
+lower-triangle CscMatrix; pattern-only files get random values with forced
+diagonal dominance (SPRAL ``random_real``-style,
+/root/reference/src/spllt_mod.F90:481-486).
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import numpy as np
+
+from .csc import CscMatrix
+
+__all__ = ["read_matrix_market", "read_rutherford_boeing", "read_matrix"]
+
+
+def _open(path: str):
+    if path.endswith(".gz"):
+        return gzip.open(path, "rt")
+    return open(path)
+
+
+def read_matrix_market(path: str, force_posdef: bool = True) -> CscMatrix:
+    """Read a symmetric MatrixMarket .mtx file (coordinate format)."""
+    with _open(path) as f:
+        header = f.readline().strip().lower()
+        if not header.startswith("%%matrixmarket"):
+            raise ValueError("not a MatrixMarket file")
+        parts = header.split()
+        pattern_only = "pattern" in parts
+        symmetric = "symmetric" in parts
+        if not symmetric:
+            raise ValueError("spllt_tpu requires a symmetric matrix")
+        line = f.readline()
+        while line.startswith("%"):
+            line = f.readline()
+        m, n, nnz = (int(x) for x in line.split())
+        if m != n:
+            raise ValueError("matrix must be square")
+        rows = np.empty(nnz, dtype=np.int64)
+        cols = np.empty(nnz, dtype=np.int64)
+        vals = None if pattern_only else np.empty(nnz, dtype=np.float64)
+        for k in range(nnz):
+            toks = f.readline().split()
+            rows[k] = int(toks[0]) - 1
+            cols[k] = int(toks[1]) - 1
+            if vals is not None:
+                vals[k] = float(toks[2])
+    if vals is None:
+        a = CscMatrix.from_coo(n, rows, cols,
+                               np.zeros(len(rows)))
+        _fill_random_posdef(a)
+        return a
+    a = CscMatrix.from_coo(n, rows, cols, vals)
+    if force_posdef:
+        _force_diag_dominant(a)
+    return a
+
+
+def read_rutherford_boeing(path: str,
+                           force_posdef: bool = True) -> CscMatrix:
+    """Read a Rutherford-Boeing .rb / .rsa file (real symmetric
+    assembled).  Format: 4-5 header lines then column pointers, row
+    indices, and (optionally) values in fixed-width Fortran fields."""
+    with _open(path) as f:
+        f.readline()  # title
+        l2 = f.readline().split()
+        # totcrd ptrcrd indcrd valcrd
+        ptrcrd, indcrd = int(l2[1]), int(l2[2])
+        valcrd = int(l2[3]) if len(l2) > 3 else 0
+        l3 = f.readline().split()
+        mxtype = l3[0].lower()
+        nrow, ncol, nnz = int(l3[1]), int(l3[2]), int(l3[3])
+        f.readline()  # formats line
+        if mxtype[1] not in ("s", "u"):
+            raise ValueError(f"unsupported RB matrix type {mxtype}")
+
+        def read_ints(ncards, count):
+            out = []
+            for _ in range(ncards):
+                out.extend(int(t) for t in f.readline().split())
+            return np.asarray(out[:count], dtype=np.int64)
+
+        colptr = read_ints(ptrcrd, ncol + 1) - 1
+        rowind = read_ints(indcrd, nnz) - 1
+        vals = None
+        if valcrd > 0 and mxtype[0] in ("r", "i"):
+            out = []
+            for _ in range(valcrd):
+                out.extend(float(t.replace("D", "E").replace("d", "e"))
+                           for t in f.readline().split())
+            vals = np.asarray(out[:nnz], dtype=np.float64)
+    cols = np.repeat(np.arange(ncol, dtype=np.int64), np.diff(colptr))
+    if vals is None:
+        a = CscMatrix.from_coo(ncol, rowind, cols, np.zeros(nnz))
+        _fill_random_posdef(a)
+        return a
+    a = CscMatrix.from_coo(ncol, rowind, cols, vals)
+    if force_posdef:
+        _force_diag_dominant(a)
+    return a
+
+
+def read_matrix(path: str, fmt: str | None = None) -> CscMatrix:
+    if fmt == "mm" or (fmt is None and (".mtx" in path)):
+        return read_matrix_market(path)
+    return read_rutherford_boeing(path)
+
+
+def _fill_random_posdef(a: CscMatrix, seed: int = 0) -> None:
+    rng = np.random.default_rng(seed)
+    a.values = rng.uniform(-1.0, 1.0, size=a.nnz)
+    _force_diag_dominant(a)
+
+
+def _force_diag_dominant(a: CscMatrix) -> None:
+    """Overwrite the diagonal to make A symmetric diagonally dominant
+    (the reference forces ``rb_options%values=3``,
+    /root/reference/test/test_solve_phasis.F90:89)."""
+    n = a.n
+    cols = np.repeat(np.arange(n), np.diff(a.colptr))
+    off = a.rowind != cols
+    absv = np.abs(a.values)
+    dom = np.zeros(n)
+    np.add.at(dom, a.rowind[off], absv[off])
+    np.add.at(dom, cols[off], absv[off])
+    a.values[a.colptr[:-1]] = dom + 1.0
