@@ -1,0 +1,111 @@
+"""Headline benchmark: supernodal sparse Cholesky factorization GFLOP/s.
+
+Config 2 of BASELINE.md: 3-D Poisson 7-point grid, blocked supernodal
+factorization, single chip, float32 pool (+ f64-refined solve check).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Timing excludes compilation (first run compiles, second run is timed) —
+the analyse/plan/compile products are reusable across refactorizations of
+the same pattern, matching the reference's akeep-reuse workflow.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# grid edge; override with BENCH_M env var
+M = int(os.environ.get("BENCH_M", "20"))
+NB = int(os.environ.get("BENCH_NB", "128"))
+NEMIN = int(os.environ.get("BENCH_NEMIN", "64"))
+# our own recorded baseline (GFLOP/s) to report progress against; the
+# reference publishes no numbers (BASELINE.md)
+BASELINE_GFLOPS = float(os.environ.get("BENCH_BASELINE", "0") or 0)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from spllt_tpu.utils.jaxconfig import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from spllt_tpu import Options, analyse, make_rhs, poisson3d, solve
+    from spllt_tpu.numeric.assemble import assemble_jax
+    from spllt_tpu.numeric.factor import FactorExecutor
+    from spllt_tpu.plan.blocking import build_block_plan
+    from spllt_tpu.plan.factor_tasks import build_factor_plan
+
+    a = poisson3d(M)
+    opts = Options(ordering="nd-grid", grid_shape=(M, M, M), nb=NB,
+                   nemin=NEMIN, mode="batched", dtype="float32", refine=2,
+                   prune_tree=False)
+    t0 = time.perf_counter()
+    symb = analyse(a, opts)
+    plan = build_block_plan(symb, opts.nb)
+    fplan = build_factor_plan(symb, plan)
+    t_plan = time.perf_counter() - t0
+    print(f"# analyse+plan: n={symb.n} nnzL={symb.inform.num_factor} "
+          f"flops={symb.inform.num_flops:.3e} levels={fplan.nlevels} "
+          f"tasks={fplan.num_tasks} time={t_plan:.1f}s", file=sys.stderr)
+
+    ex = FactorExecutor(fplan, dtype=jnp.float32)
+    values = symb.a_perm.values
+
+    def run():
+        pool = assemble_jax(plan, values, jnp.float32)
+        pool = ex(pool)
+        pool.block_until_ready()
+        return pool
+
+    t0 = time.perf_counter()
+    pool = run()
+    t_compile = time.perf_counter() - t0
+    print(f"# first run (compile+exec): {t_compile:.1f}s", file=sys.stderr)
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        pool = run()
+        times.append(time.perf_counter() - t0)
+        print(f"# rep {i}: {times[-1]:.3f}s", file=sys.stderr)
+    t_fact = min(times)
+    gflops = symb.inform.num_flops / t_fact / 1e9
+
+    # correctness guard: refined solve must reach f64-level backward error
+    from spllt_tpu.api import NumericFactor
+    from spllt_tpu.plan.solve_tasks import build_solve_plan
+    import dataclasses
+
+    splan = build_solve_plan(symb, plan)
+    num = NumericFactor(symb=symb, plan=plan, fplan=fplan, splan=splan,
+                        pool=pool, values_perm=np.asarray(values),
+                        options=opts, inform=symb.inform)
+    xt, b = make_rhs(a, nrhs=1)
+    x = solve(num, b[:, 0])
+    bwd = float(np.linalg.norm(a.matvec(x) - b[:, 0])
+                / np.linalg.norm(b[:, 0]))
+    print(f"# factor {t_fact*1e3:.1f} ms  {gflops:.1f} GFLOP/s  "
+          f"bwd_err {bwd:.2e}", file=sys.stderr)
+    if bwd > 1e-10:
+        print(json.dumps({"metric": "factorization_gflops", "value": 0.0,
+                          "unit": "GFLOP/s", "vs_baseline": 0.0,
+                          "error": f"bwd_err={bwd}"}))
+        return 1
+    print(json.dumps({
+        "metric": "factorization_gflops",
+        "value": round(gflops, 2),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(gflops / BASELINE_GFLOPS, 3)
+        if BASELINE_GFLOPS else 1.0,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

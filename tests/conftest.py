@@ -1,16 +1,21 @@
-"""Test configuration: force an 8-virtual-device CPU JAX platform so
-multi-chip sharding paths compile and run without TPU hardware, and enable
-x64 for float64 oracle comparisons."""
+"""Test configuration.
+
+Forces 8 virtual CPU devices and routes all computation to the CPU backend
+so the suite is fast and multi-chip sharding paths run without TPU
+hardware.  NOTE: in the axon environment a sitecustomize registers the TPU
+backend at interpreter startup and overrides JAX_PLATFORMS; the reliable
+knobs post-import are XLA_FLAGS (before first CPU-backend touch) and
+``jax_default_device``.
+"""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_ENABLE_X64"] = "1"
 
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
