@@ -18,8 +18,9 @@ import time
 
 import numpy as np
 
-# grid edge; override with BENCH_M env var
-M = int(os.environ.get("BENCH_M", "20"))
+# grid edge; override with BENCH_M env var (default: BASELINE.md config 2,
+# 3-D Poisson 32³ single chip)
+M = int(os.environ.get("BENCH_M", "32"))
 NB = int(os.environ.get("BENCH_NB", "128"))
 NEMIN = int(os.environ.get("BENCH_NEMIN", "64"))
 # our own recorded baseline (GFLOP/s) to report progress against; the
@@ -37,7 +38,7 @@ def main() -> int:
 
     from spllt_tpu import Options, analyse, make_rhs, poisson3d, solve
     from spllt_tpu.numeric.assemble import assemble_jax
-    from spllt_tpu.numeric.factor import FactorExecutor
+    from spllt_tpu.numeric.factor_scan import ScanFactorExecutor
     from spllt_tpu.plan.blocking import build_block_plan
     from spllt_tpu.plan.factor_tasks import build_factor_plan
 
@@ -54,7 +55,7 @@ def main() -> int:
           f"flops={symb.inform.num_flops:.3e} levels={fplan.nlevels} "
           f"tasks={fplan.num_tasks} time={t_plan:.1f}s", file=sys.stderr)
 
-    ex = FactorExecutor(fplan, dtype=jnp.float32)
+    ex = ScanFactorExecutor(fplan, dtype=jnp.float32)
     values = symb.a_perm.values
 
     def run():

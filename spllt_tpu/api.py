@@ -82,14 +82,20 @@ def factor(symb: SymbolicFactor, a: CscMatrix | None = None,
         import jax.numpy as jnp
 
         from .numeric.assemble import assemble_jax
-        from .numeric.factor import FactorExecutor
         from .utils.jaxconfig import ensure_x64
 
         if options.dtype == "float64":
             ensure_x64()
         dtype = jnp.float64 if options.dtype == "float64" else jnp.float32
         pool = assemble_jax(plan, values, dtype)
-        ex = FactorExecutor(fplan, dtype=dtype)
+        if options.schedule == "scan":
+            from .numeric.factor_scan import ScanFactorExecutor
+
+            ex = ScanFactorExecutor(fplan, dtype=dtype)
+        else:
+            from .numeric.factor import FactorExecutor
+
+            ex = FactorExecutor(fplan, dtype=dtype)
         pool = ex(pool)
         pool.block_until_ready()
         # positive-definiteness check: NaNs appear on failure
@@ -169,14 +175,19 @@ def _solve_once(num: NumericFactor, bb: np.ndarray, job: int) -> np.ndarray:
     else:
         import jax.numpy as jnp
 
-        from .numeric.solve import SolveExecutor
-
         key = (nrhs,)
         ex = num._solve_execs.get(key)
         if ex is None:
             dtype = (jnp.float64 if num.options.dtype == "float64"
                      else jnp.float32)
-            ex = SolveExecutor(num.splan, nrhs, dtype=dtype)
+            if num.options.schedule == "scan":
+                from .numeric.solve_scan import ScanSolveExecutor
+
+                ex = ScanSolveExecutor(num.splan, nrhs, dtype=dtype)
+            else:
+                from .numeric.solve import SolveExecutor
+
+                ex = SolveExecutor(num.splan, nrhs, dtype=dtype)
             num._solve_execs[key] = ex
         xd = xp
         if job in (0, 1):

@@ -55,6 +55,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="repeat factor+solve (timing)")
     p.add_argument("--json", action="store_true",
                    help="emit one JSON line with the results")
+    p.add_argument("--stats", action="store_true",
+                   help="print plan statistics (tree-stat analogue)")
+    p.add_argument("--timers", action="store_true",
+                   help="print hierarchical step timers")
+    p.add_argument("--trace", metavar="PATH", default=None,
+                   help="dump a Chrome-trace JSON of host-side phases")
+    p.add_argument("--schedule", default="scan",
+                   choices=["scan", "unrolled"])
     return p
 
 
@@ -86,11 +94,17 @@ def main(argv=None) -> int:
         nb=args.nb, snb=args.snb, nemin=args.nemin, ordering=ordering,
         grid_shape=grid_shape, mode=args.mode, dtype=args.dtype,
         refine=args.refine, prune_tree=not args.no_prune_tree,
-        ndevices=args.ndev,
+        ndevices=args.ndev, schedule=args.schedule,
     )
 
+    from .utils.timers import print_timers, timer
+    from .utils.tracing import TraceLog
+
+    trace = TraceLog() if args.trace else None
+
     t0 = time.perf_counter()
-    symb = analyse(a, options)
+    with timer("analyse"):
+        symb = analyse(a, options)
     t_analyse = time.perf_counter() - t0
     print(f"[analyse] n={symb.n} nnz={a.nnz} nodes={symb.inform.num_nodes} "
           f"nnz(L)={symb.inform.num_factor} "
@@ -104,10 +118,20 @@ def main(argv=None) -> int:
     x = None
     for rep in range(max(1, args.reps)):
         t0 = time.perf_counter()
-        num = factor(symb)
+        with timer("factor", flops=symb.inform.num_flops):
+            if trace:
+                with trace.event("factor", rep=rep):
+                    num = factor(symb)
+            else:
+                num = factor(symb)
         t_factor.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        x = solve(num, b)
+        with timer("solve"):
+            if trace:
+                with trace.event("solve", rep=rep):
+                    x = solve(num, b)
+            else:
+                x = solve(num, b)
         t_solve.append(time.perf_counter() - t0)
     tf = min(t_factor)
     ts = min(t_solve)
@@ -122,6 +146,15 @@ def main(argv=None) -> int:
     print(f"[solve  ] nrhs={args.nrhs} time={ts:.4f}s "
           f"bwd_err={bwderr:.3e} fwd_err={fwderr:.3e}")
 
+    if args.stats:
+        from .utils.stats import factor_plan_stats, print_stats
+
+        print_stats(factor_plan_stats(num.fplan), out=sys.stdout)
+    if args.timers:
+        print(print_timers())
+    if trace:
+        trace.dump(args.trace)
+        print(f"[trace  ] wrote {args.trace}")
     if args.json:
         print(json.dumps({
             "matrix": name, "n": symb.n, "nnz": a.nnz,

@@ -28,6 +28,7 @@ class Options:
     prune_tree: bool = True  # subtree coarsening (ref prune_tree)
     # execution -------------------------------------------------------------
     mode: str = "batched"    # 'batched' (jit level schedule) | 'stf' (oracle)
+    schedule: str = "scan"   # 'scan' (bucketed lax.scan) | 'unrolled'
     dtype: str = "float32"   # pool dtype: 'float32' | 'float64'
     refine: int = 2          # iterative-refinement steps in solve (f64 resid)
     ndevices: int = 1        # target device count (ref ncpu/nworker)
@@ -46,6 +47,8 @@ class Options:
             raise ValueError(f"nemin must be >= 1, got {self.nemin}")
         if self.mode not in ("batched", "stf"):
             raise ValueError(f"unknown mode {self.mode!r}")
+        if self.schedule not in ("scan", "unrolled"):
+            raise ValueError(f"unknown schedule {self.schedule!r}")
         if self.dtype not in ("float32", "float64"):
             raise ValueError(f"unknown dtype {self.dtype!r}")
         if self.ndevices < 1:
