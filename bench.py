@@ -23,6 +23,8 @@ import numpy as np
 M = int(os.environ.get("BENCH_M", "32"))
 NB = int(os.environ.get("BENCH_NB", "128"))
 NEMIN = int(os.environ.get("BENCH_NEMIN", "64"))
+PRECISION = os.environ.get("BENCH_PRECISION", "highest")
+COARSE = os.environ.get("BENCH_COARSE", "1") not in ("0", "", "false")
 # our own recorded baseline (GFLOP/s) to report progress against; the
 # reference publishes no numbers (BASELINE.md)
 BASELINE_GFLOPS = float(os.environ.get("BENCH_BASELINE", "0") or 0)
@@ -44,24 +46,41 @@ def main() -> int:
 
     a = poisson3d(M)
     opts = Options(ordering="nd-grid", grid_shape=(M, M, M), nb=NB,
-                   nemin=NEMIN, mode="batched", dtype="float32", refine=2,
-                   prune_tree=False)
+                   nemin=NEMIN, mode="batched", dtype="float32",
+                   refine=3 if PRECISION != "highest" else 2,
+                   precision=PRECISION, prune_tree=False,
+                   coarse_subtrees=COARSE)
     t0 = time.perf_counter()
     symb = analyse(a, opts)
-    plan = build_block_plan(symb, opts.nb)
-    fplan = build_factor_plan(symb, plan)
+    from spllt_tpu.api import _plans
+
+    plan, fplan, _ = _plans(symb, opts)
     t_plan = time.perf_counter() - t0
     print(f"# analyse+plan: n={symb.n} nnzL={symb.inform.num_factor} "
           f"flops={symb.inform.num_flops:.3e} levels={fplan.nlevels} "
           f"tasks={fplan.num_tasks} time={t_plan:.1f}s", file=sys.stderr)
 
-    ex = ScanFactorExecutor(fplan, dtype=jnp.float32)
+    ex = ScanFactorExecutor(fplan, dtype=jnp.float32,
+                            matmul_precision=PRECISION)
+    dense_ex = None
+    if fplan.dense:
+        from spllt_tpu.numeric.subtree import DenseSubtreeExecutor
+
+        dense_ex = DenseSubtreeExecutor(fplan, dtype=jnp.float32)
     values = symb.a_perm.values
 
-    def run():
-        pool = assemble_jax(plan, values, jnp.float32)
-        pool = ex(pool)
-        pool.block_until_ready()
+    def run(rep=0):
+        # perturb values per rep: identical repeated executions can be
+        # memoized by the remote-execution layer (measured > chip peak).
+        # Force TRUE completion with a 1-byte device→host fetch of the
+        # in-graph flag — on the axon relay, block_until_ready returns at
+        # dispatch, not execution, so fetch-free timings are fiction.
+        v = values * (1.0 + 1e-7 * rep)
+        pool = assemble_jax(plan, v, jnp.float32)
+        if dense_ex is not None:
+            pool = dense_ex(pool, v)
+        pool, notpos = ex(pool)
+        assert not bool(notpos)
         return pool
 
     t0 = time.perf_counter()
@@ -72,9 +91,10 @@ def main() -> int:
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        pool = run()
+        pool = run(rep=i + 1)
         times.append(time.perf_counter() - t0)
         print(f"# rep {i}: {times[-1]:.3f}s", file=sys.stderr)
+    pool = run(rep=0)  # factor the unperturbed values for the solve check
     t_fact = min(times)
     gflops = symb.inform.num_flops / t_fact / 1e9
 

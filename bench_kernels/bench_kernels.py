@@ -1,0 +1,121 @@
+"""Standalone dense block-kernel benchmarks (GFLOP/s, CSV).
+
+Analogue of the reference's ``bench_kernels/`` (dpotrf/dtrsm/dsyrk/dgemm
+GFLOP/s vs MKL/MAGMA/cuSOLVER, N-sweep → CSV,
+/root/reference/bench_kernels/bench_potrf/bench_MKL_potrf.cu:153-227).
+Measures the four batched block kernels the factorization is built from —
+potrf / trsm / syrk(gemm-NT) / gathered update — on the current JAX
+backend, sweeping tile size nb and batch size B.
+
+    python bench_kernels/bench_kernels.py [--csv out.csv]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def bench_op(fn, args, reps=10):
+    """Time fn over distinct inputs (identical repeated executions can be
+    memoized by the remote-execution layer, giving impossible rates)."""
+    import jax.numpy as jnp
+
+    variants = []
+    for i in range(reps):
+        scaled = [a * (1.0 + 1e-6 * (i + 1))
+                  if hasattr(a, "dtype") and a.dtype != jnp.int32 else a
+                  for a in args]
+        variants.append(tuple(scaled))
+    for v in variants:
+        jax_block(v)
+    out = fn(*variants[0])
+    jax_block(out)
+    t0 = time.perf_counter()
+    outs = [fn(*v) for v in variants]
+    for o in outs:
+        jax_block(o)
+    return (time.perf_counter() - t0) / reps
+
+
+def jax_block(x):
+    if hasattr(x, "block_until_ready"):
+        x.block_until_ready()
+    elif isinstance(x, (tuple, list)):
+        for v in x:
+            jax_block(v)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--csv", default=None)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--precision", default="highest",
+                    choices=["highest", "default"])
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from spllt_tpu.numeric.factor import _potrf_batch, _trsm_batch
+
+    dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
+    prec = args.precision
+    rng = np.random.default_rng(0)
+    rows = ["kernel,nb,batch,ms,gflops"]
+    print(f"# backend={jax.default_backend()} dtype={args.dtype} "
+          f"precision={prec}", file=sys.stderr)
+
+    for nb in (64, 128, 256, 512):
+        for B in (1, 8, 64, 256):
+            if B * nb * nb * 4 > 2 ** 30:
+                continue
+            a_np = rng.standard_normal((B, nb, nb)).astype(np.float32)
+            spd = a_np @ a_np.transpose(0, 2, 1) + nb * np.eye(
+                nb, dtype=np.float32)
+            a = jnp.asarray(a_np, dtype)
+            b = jnp.asarray(
+                rng.standard_normal((B, nb, nb)).astype(np.float32), dtype)
+            spd_d = jnp.asarray(spd, dtype)
+            k = jnp.full((B,), nb, dtype=jnp.int32)
+
+            gemm = jax.jit(lambda x, y: jax.lax.dot_general(
+                x, y, (((2,), (2,)), ((0,), (0,))), precision=prec,
+                preferred_element_type=x.dtype))
+            t = bench_op(gemm, (a, b))
+            fl = 2 * B * nb ** 3
+            rows.append(f"gemm_nt,{nb},{B},{t*1e3:.3f},{fl/t/1e9:.1f}")
+
+            potrf = jax.jit(lambda x, kk: _potrf_batch(x, kk, nb))
+            t = bench_op(potrf, (spd_d, k))
+            fl = B * nb ** 3 / 3
+            rows.append(f"potrf,{nb},{B},{t*1e3:.3f},{fl/t/1e9:.1f}")
+
+            trsm = jax.jit(lambda d, x, kk: _trsm_batch(d, x, kk, nb))
+            chol = jax.jit(lambda x: jax.lax.linalg.cholesky(x))(spd_d)
+            t = bench_op(trsm, (chol, b, k))
+            fl = B * nb ** 3
+            rows.append(f"trsm,{nb},{B},{t*1e3:.3f},{fl/t/1e9:.1f}")
+            print(rows[-3], file=sys.stderr)
+            print(rows[-2], file=sys.stderr)
+            print(rows[-1], file=sys.stderr)
+
+    text = "\n".join(rows)
+    if args.csv:
+        with open(args.csv, "w") as f:
+            f.write(text + "\n")
+    else:
+        print(text)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

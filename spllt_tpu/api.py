@@ -51,7 +51,14 @@ class NumericFactor:
 
 def _plans(symb: SymbolicFactor, options: Options):
     plan = build_block_plan(symb, options.nb)
-    fplan = build_factor_plan(symb, plan)
+    coarse = None
+    if options.coarse_subtrees:
+        from .analyse.coarsen import coarse_partition
+
+        coarse = coarse_partition(symb.forest, symb.node_flops,
+                                  max_span=options.coarse_span,
+                                  waste=options.coarse_waste)
+    fplan = build_factor_plan(symb, plan, coarse=coarse)
     splan = build_solve_plan(symb, plan)
     return plan, fplan, splan
 
@@ -77,6 +84,10 @@ def factor(symb: SymbolicFactor, a: CscMatrix | None = None,
         from .numeric.stf import factorize_np
 
         pool = assemble_np(plan, values, dtype=np.float64)
+        if fplan.dense:
+            from .numeric.subtree import subtree_np
+
+            pool = subtree_np(pool, np.asarray(values, np.float64), fplan)
         pool = factorize_np(pool, fplan)
     else:
         import jax.numpy as jnp
@@ -88,18 +99,24 @@ def factor(symb: SymbolicFactor, a: CscMatrix | None = None,
             ensure_x64()
         dtype = jnp.float64 if options.dtype == "float64" else jnp.float32
         pool = assemble_jax(plan, values, dtype)
+        if fplan.dense:
+            from .numeric.subtree import DenseSubtreeExecutor
+
+            pool = DenseSubtreeExecutor(fplan, dtype=dtype)(pool, values)
         if options.schedule == "scan":
             from .numeric.factor_scan import ScanFactorExecutor
 
-            ex = ScanFactorExecutor(fplan, dtype=dtype)
+            ex = ScanFactorExecutor(fplan, dtype=dtype,
+                                    matmul_precision=options.precision)
         else:
             from .numeric.factor import FactorExecutor
 
-            ex = FactorExecutor(fplan, dtype=dtype)
-        pool = ex(pool)
+            ex = FactorExecutor(fplan, dtype=dtype,
+                                matmul_precision=options.precision)
+        pool, notpos = ex(pool)
         pool.block_until_ready()
-        # positive-definiteness check: NaNs appear on failure
-        if bool(jnp.isnan(pool[:, 0, 0]).any()):
+        # positive-definiteness flag computed in-graph (tiny transfer)
+        if bool(notpos):
             raise NotPositiveDefiniteError()
 
     return NumericFactor(symb=symb, plan=plan, fplan=fplan, splan=splan,
@@ -183,11 +200,14 @@ def _solve_once(num: NumericFactor, bb: np.ndarray, job: int) -> np.ndarray:
             if num.options.schedule == "scan":
                 from .numeric.solve_scan import ScanSolveExecutor
 
-                ex = ScanSolveExecutor(num.splan, nrhs, dtype=dtype)
+                ex = ScanSolveExecutor(
+                    num.splan, nrhs, dtype=dtype,
+                    matmul_precision=num.options.precision)
             else:
                 from .numeric.solve import SolveExecutor
 
-                ex = SolveExecutor(num.splan, nrhs, dtype=dtype)
+                ex = SolveExecutor(num.splan, nrhs, dtype=dtype,
+                                   matmul_precision=num.options.precision)
             num._solve_execs[key] = ex
         xd = xp
         if job in (0, 1):

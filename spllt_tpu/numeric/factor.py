@@ -86,8 +86,8 @@ class FactorExecutor:
             syrk_src_i=i32(fp.syrk_src_i), syrk_src_j=i32(fp.syrk_src_j),
             syrk_dst=i32(fp.syrk_dst),
             updbt_dst=i32(fp.updbt_dst), updbt_mr=i32(fp.updbt_mr),
-            updbt_mc=i32(fp.updbt_mc), updbt_kthr=i32(fp.updbt_kthr),
-            updbt_srcbase=i32(fp.updbt_srcbase),
+            updbt_mc=i32(fp.updbt_mc), updbt_svp=i32(fp.updbt_svp),
+            updbt_c=i32(fp.updbt_c), srcvec=i32(fp.srcvec),
             maps=i32(fp.maps), blk_n=i32(fp.blk_n),
         )
 
@@ -106,20 +106,34 @@ class FactorExecutor:
             iota = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
             poolf = pool.reshape(-1, nb)
             for lvl in range(1, fp.nlevels + 1):
-                # ---- inter-node updates ---------------------------------- #
+                # ---- inter-node updates (width-fused) -------------------- #
                 s, e = int(fp.updbt_ptr[lvl]), int(fp.updbt_ptr[lvl + 1])
                 if e > s:
+                    cmax = int(fp.updbt_c[s:e].max())
                     dst = args["updbt_dst"][s:e]
                     pr = args["maps"][args["updbt_mr"][s:e]]
                     pc = args["maps"][args["updbt_mc"][s:e]]
-                    thr = args["updbt_kthr"][s:e][:, None]
-                    base = args["updbt_srcbase"][s:e][:, None] * nb
-                    vr = pr >= thr
-                    vc = (pc >= thr) & (iota < args["blk_n"][dst][:, None])
-                    r = poolf[jnp.where(vr, base + pr, 0)]
-                    r = r * vr[..., None].astype(pool.dtype)
-                    c = poolf[jnp.where(vc, base + pc, 0)]
-                    c = c * vc[..., None].astype(pool.dtype)
+                    svp = args["updbt_svp"][s:e]
+                    cv = args["updbt_c"][s:e]
+                    iot_c = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, cmax), 1)
+                    svi = jnp.minimum(svp[:, None] + iot_c,
+                                      args["srcvec"].shape[0] - 1)
+                    sv = args["srcvec"][svi]              # [B, cmax]
+                    kbm = iot_c < cv[:, None]             # [B, cmax]
+                    vr = pr >= 0
+                    vc = (pc >= 0) & (iota < args["blk_n"][dst][:, None])
+
+                    def gathw(p, v):
+                        val = v[:, :, None] & kbm[:, None, :]
+                        fr = jnp.where(val,
+                                       sv[:, None, :] * nb
+                                       + p[:, :, None], 0)
+                        g = poolf[fr] * val[..., None].astype(pool.dtype)
+                        return g.reshape(g.shape[0], nb, cmax * nb)
+
+                    r = gathw(pr, vr)
+                    c = gathw(pc, vc)
                     pool = pool.at[dst].add(-bmm_nt(r, c))
                     poolf = pool.reshape(-1, nb)
                 # ---- intra-node updates ---------------------------------- #
@@ -147,7 +161,8 @@ class FactorExecutor:
                                       args["trsm_k"][s:e], nb)
                     pool = pool.at[dst].set(out)
                     poolf = pool.reshape(-1, nb)
-            return pool
+            notpos = jnp.isnan(jnp.sum(pool[:, 0, 0]))
+            return pool, notpos
 
         return run
 

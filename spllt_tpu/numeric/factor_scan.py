@@ -49,8 +49,8 @@ class ScanFactorExecutor:
             "syrk": {"i": fp.syrk_src_i, "j": fp.syrk_src_j,
                      "dst": fp.syrk_dst},
             "updbt": {"dst": fp.updbt_dst, "mr": fp.updbt_mr,
-                      "mc": fp.updbt_mc, "thr": fp.updbt_kthr,
-                      "sb": fp.updbt_srcbase},
+                      "mc": fp.updbt_mc, "svp": fp.updbt_svp,
+                      "c": fp.updbt_c},
         }
         ptrs = {"potrf": fp.potrf_ptr, "trsm": fp.trsm_ptr,
                 "syrk": fp.syrk_ptr, "updbt": fp.updbt_ptr}
@@ -59,7 +59,7 @@ class ScanFactorExecutor:
             "potrf": {"blk": s, "k": 0},
             "trsm": {"diag": s, "dst": s, "k": 0},
             "syrk": {"i": s, "j": s, "dst": s},
-            "updbt": {"dst": s, "mr": 0, "mc": 0, "thr": _I32MAX, "sb": 0},
+            "updbt": {"dst": s, "mr": 0, "mc": 0, "svp": 0, "c": 0},
         }
         self.buckets = [pad_tables(sp, fields, ptrs, pad_values)
                         for sp in spans]
@@ -71,6 +71,13 @@ class ScanFactorExecutor:
         self.maps = jnp.asarray(fp.maps, dtype=jnp.int32)
         blk_n_ext = np.concatenate([fp.blk_n, [fp.nb]])
         self.blk_n = jnp.asarray(blk_n_ext, dtype=jnp.int32)
+        self.srcvec = jnp.asarray(fp.srcvec, dtype=jnp.int32)
+        # static per-bucket max source width for the fused updbt kernel
+        self._bucket_cmax = [
+            int(b.tables["updbt_c"].max()) if "updbt_c" in b.tables
+            and b.tables["updbt_c"].size else 0
+            for b in self.buckets
+        ]
         self._fn = jax.jit(self._build(), donate_argnums=(0,))
 
     # ------------------------------------------------------------------ #
@@ -84,24 +91,35 @@ class ScanFactorExecutor:
                 a, b, (((2,), (2,)), ((0,), (0,))),
                 precision=prec, preferred_element_type=a.dtype)
 
-        def level_body(carry, tb):
-            pool, maps, blk_n = carry
+        def level_body(carry, tb, cmax):
+            pool, maps, blk_n, srcvec = carry
             iota = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
-            # ---- updbt ----
-            if "updbt_dst" in tb and tb["updbt_dst"].shape[0] > 0:
+            # ---- updbt (width-fused) ----
+            if "updbt_dst" in tb and tb["updbt_dst"].shape[0] > 0 \
+                    and cmax > 0:
                 dst = tb["updbt_dst"]
                 pr = maps[tb["updbt_mr"]]
                 pc = maps[tb["updbt_mc"]]
-                thr = tb["updbt_thr"][:, None]
-                base = tb["updbt_sb"][:, None] * nb
-                vr = pr >= thr
-                vc = (pc >= thr) & (iota < blk_n[dst][:, None])
+                svp = tb["updbt_svp"]
+                cv = tb["updbt_c"]
+                iot_c = jax.lax.broadcasted_iota(jnp.int32, (1, cmax), 1)
+                svi = jnp.minimum(svp[:, None] + iot_c,
+                                  srcvec.shape[0] - 1)
+                sv = srcvec[svi]                      # [K, cmax]
+                kbm = iot_c < cv[:, None]
+                vr = pr >= 0
+                vc = (pc >= 0) & (iota < blk_n[dst][:, None])
                 poolf = pool.reshape(-1, nb)
-                r = poolf[jnp.where(vr, base + pr, 0)]
-                r = r * vr[..., None].astype(pool.dtype)
-                c = poolf[jnp.where(vc, base + pc, 0)]
-                c = c * vc[..., None].astype(pool.dtype)
-                pool = pool.at[dst].add(-bmm_nt(r, c))
+
+                def gathw(p, v):
+                    val = v[:, :, None] & kbm[:, None, :]
+                    fr = jnp.where(val,
+                                   sv[:, None, :] * nb + p[:, :, None], 0)
+                    g = poolf[fr] * val[..., None].astype(pool.dtype)
+                    return g.reshape(g.shape[0], nb, cmax * nb)
+
+                pool = pool.at[dst].add(
+                    -bmm_nt(gathw(pr, vr), gathw(pc, vc)))
             # ---- syrk ----
             if "syrk_i" in tb and tb["syrk_i"].shape[0] > 0:
                 u = bmm_nt(pool[tb["syrk_i"]], pool[tb["syrk_j"]])
@@ -116,25 +134,34 @@ class ScanFactorExecutor:
                 out = _trsm_batch(pool[tb["trsm_diag"]],
                                   pool[tb["trsm_dst"]], tb["trsm_k"], nb)
                 pool = pool.at[tb["trsm_dst"]].set(out)
-            return (pool, maps, blk_n), None
+            return (pool, maps, blk_n, srcvec), None
 
-        def run(pool_ext, maps, blk_n, bucket_tables):
-            carry = (pool_ext, maps, blk_n)
-            for bt in bucket_tables:
+        def run(pool_ext, maps, blk_n, srcvec, bucket_tables):
+            carry = (pool_ext, maps, blk_n, srcvec)
+            for bi, bt in enumerate(bucket_tables):
                 # drop zero-width kinds for this bucket (static)
                 tb = {k: v for k, v in bt.items() if v.shape[1] > 0}
+                if not tb:
+                    continue  # bucket fully absorbed (e.g. by coarse phase)
+                cmax = self._bucket_cmax[bi]
                 carry, _ = jax.lax.scan(
-                    lambda c, t: level_body(c, t), carry, tb)
-            return carry[0]
+                    lambda c, t, _cm=cmax: level_body(c, t, _cm), carry, tb)
+            pool = carry[0]
+            # in-graph positive-definiteness flag (NaNs appear on failure);
+            # an eager post-hoc check on the big pool is host-round-trip
+            # heavy, so compute the tiny flag here
+            notpos = jnp.isnan(jnp.sum(pool[:, 0, 0]))
+            return pool, notpos
 
         return run
 
     # ------------------------------------------------------------------ #
     def __call__(self, pool):
-        nb = self.nb
+        """pool: [nblocks+1, nb, nb] with trailing scratch block (see
+        assemble_*); factored in place, scratch kept zero.  Returns
+        (pool, not_posdef_flag)."""
         pool = jnp.asarray(pool, dtype=self.dtype)
-        pool_ext = jnp.concatenate(
-            [pool, jnp.zeros((1, nb, nb), dtype=self.dtype)], axis=0)
-        out = self._fn(pool_ext, self.maps, self.blk_n,
-                       self._bucket_tables)
-        return out[:-1]
+        assert pool.shape[0] == self.fp.nblocks + 1, \
+            "pool must include the trailing scratch block"
+        return self._fn(pool, self.maps, self.blk_n, self.srcvec,
+                        self._bucket_tables)

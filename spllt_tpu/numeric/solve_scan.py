@@ -157,15 +157,13 @@ class ScanSolveExecutor:
         return run
 
     # ------------------------------------------------------------------ #
-    def _pool_ext(self, pool):
-        return jnp.concatenate(
-            [jnp.asarray(pool, self.dtype),
-             jnp.zeros((1, self.nb, self.nb), dtype=self.dtype)], axis=0)
+    # pool must include the trailing scratch block ([nblocks+1, nb, nb],
+    # see assemble_*); pad tasks index it as block -1 — no copies made.
 
     def fwd(self, pool, x):
-        return self._fwd_fn(self._pool_ext(pool),
+        return self._fwd_fn(jnp.asarray(pool, self.dtype),
                             jnp.asarray(x, self.dtype), self._fwd_tables)
 
     def bwd(self, pool, x):
-        return self._bwd_fn(self._pool_ext(pool),
+        return self._bwd_fn(jnp.asarray(pool, self.dtype),
                             jnp.asarray(x, self.dtype), self._bwd_tables)

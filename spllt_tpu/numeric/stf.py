@@ -27,19 +27,21 @@ def factorize_np(pool: np.ndarray, fp) -> np.ndarray:
         for t in range(fp.syrk_ptr[lvl], fp.syrk_ptr[lvl + 1]):
             si, sj, dst = fp.syrk_src_i[t], fp.syrk_src_j[t], fp.syrk_dst[t]
             pool[dst] -= pool[si] @ pool[sj].T
-        # ---- inter-node updates (update_between analogue) --------------- #
+        # ---- inter-node updates (update_between analogue, width-fused) -- #
         for t in range(fp.updbt_ptr[lvl], fp.updbt_ptr[lvl + 1]):
             dst = fp.updbt_dst[t]
             pr = fp.maps[fp.updbt_mr[t]]
             pc = fp.maps[fp.updbt_mc[t]]
-            thr = fp.updbt_kthr[t]
-            base = fp.updbt_srcbase[t] * nb
-            vr = pr >= thr
-            vc = (pc >= thr) & (iota < fp.blk_n[dst])
-            r = np.zeros((nb, nb))
-            r[vr] = poolf[base + pr[vr]]
-            c = np.zeros((nb, nb))
-            c[vc] = poolf[base + pc[vc]]
+            svp = fp.updbt_svp[t]
+            cw = fp.updbt_c[t]
+            vr = pr >= 0
+            vc = (pc >= 0) & (iota < fp.blk_n[dst])
+            r = np.zeros((nb, cw * nb))
+            c = np.zeros((nb, cw * nb))
+            for kb in range(cw):
+                base = fp.srcvec[svp + kb] * nb
+                r[vr, kb * nb:(kb + 1) * nb] = poolf[base + pr[vr]]
+                c[vc, kb * nb:(kb + 1) * nb] = poolf[base + pc[vc]]
             pool[dst] -= r @ c.T
         # ---- potrf (factor_diag_block: potrf + trailing trsm) ----------- #
         for t in range(fp.potrf_ptr[lvl], fp.potrf_ptr[lvl + 1]):

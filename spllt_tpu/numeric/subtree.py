@@ -1,0 +1,109 @@
+"""Batched dense subtree factorization (coarse-leaf phase).
+
+Executes the plan's dense phase (plan/factor_tasks._build_dense_phase):
+per spad bucket, assemble the fronts from the user values, run ONE batched
+partial Cholesky (`_potrf_batch` — chol of the leading |V| columns plus
+the boundary-row solve), and scatter the factored columns back into the
+block pool.  Replaces the reference's per-subtree sequential
+``spllt_subtree_factorize`` tasks (SURVEY §2.5) with a single MXU op per
+size bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.linalg as sla
+
+import jax
+import jax.numpy as jnp
+
+from ..errors import NotPositiveDefiniteError
+from .factor import _potrf_batch
+
+__all__ = ["subtree_np", "DenseSubtreeExecutor"]
+
+
+# ===================================================================== #
+# NumPy oracle
+# ===================================================================== #
+def subtree_np(pool: np.ndarray, values: np.ndarray, fp) -> np.ndarray:
+    nb = fp.nb
+    for b in fp.dense or []:
+        sp = b["spad"]
+        ns = b["nsub"]
+        f = np.zeros((ns, sp, sp))
+        np.add.at(f, (b["asm_sub"], b["asm_r"], b["asm_c"]),
+                  values[b["asm_vidx"]])
+        for i in range(ns):
+            k = int(b["kvec"][i])
+            d = f[i][:k, :k]
+            d = np.tril(d) + np.tril(d, -1).T
+            try:
+                ld = np.linalg.cholesky(d)
+            except np.linalg.LinAlgError as e:
+                raise NotPositiveDefiniteError(
+                    f"dense front {i} not positive definite") from e
+            below = f[i][k:, :k]
+            out = np.zeros((sp, sp))
+            out[:k, :k] = ld
+            out[k:, :k] = sla.solve_triangular(ld, below.T, lower=True).T
+            f[i] = out
+        for j in range(len(b["sc_blk"])):
+            rp, rv = b["sc_rpos"][j], b["sc_rval"][j]
+            cp, cv = b["sc_cpos"][j], b["sc_cval"][j]
+            tile = np.zeros((nb, nb))
+            tile[np.ix_(rv, cv)] = f[b["sc_sub"][j]][rp[rv]][:, cp[cv]]
+            pool[b["sc_blk"][j]] = tile
+    return pool
+
+
+# ===================================================================== #
+# JAX batched executor
+# ===================================================================== #
+class DenseSubtreeExecutor:
+    def __init__(self, fp, dtype=jnp.float32):
+        self.fp = fp
+        self.nb = fp.nb
+        self.dtype = dtype
+        i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)
+        self._tabs = []
+        for b in fp.dense or []:
+            self._tabs.append(dict(
+                spad=int(b["spad"]), nsub=int(b["nsub"]),
+                kvec=i32(b["kvec"]),
+                asm_sub=i32(b["asm_sub"]), asm_r=i32(b["asm_r"]),
+                asm_c=i32(b["asm_c"]), asm_vidx=i32(b["asm_vidx"]),
+                sc_blk=i32(b["sc_blk"]), sc_sub=i32(b["sc_sub"]),
+                sc_rpos=i32(b["sc_rpos"]),
+                sc_rval=jnp.asarray(b["sc_rval"]),
+                sc_cpos=i32(b["sc_cpos"]),
+                sc_cval=jnp.asarray(b["sc_cval"]),
+            ))
+        self._fn = jax.jit(self._build(), donate_argnums=(0,))
+
+    def _build(self):
+        nb = self.nb
+        metas = [(t["spad"], t["nsub"]) for t in self._tabs]
+
+        def run(pool, values, tabs):
+            for (sp, ns), t in zip(metas, tabs):
+                f = jnp.zeros((ns, sp, sp), dtype=pool.dtype)
+                f = f.at[t["asm_sub"], t["asm_r"], t["asm_c"]].add(
+                    values[t["asm_vidx"]])
+                f = _potrf_batch(f, t["kvec"], sp)
+                rp = jnp.where(t["sc_rval"], t["sc_rpos"], 0)
+                cp = jnp.where(t["sc_cval"], t["sc_cpos"], 0)
+                vals = f[t["sc_sub"][:, None, None],
+                         rp[:, :, None], cp[:, None, :]]
+                mask = (t["sc_rval"][:, :, None]
+                        & t["sc_cval"][:, None, :]).astype(pool.dtype)
+                pool = pool.at[t["sc_blk"]].set(vals * mask)
+            return pool
+
+        return run
+
+    def __call__(self, pool, values):
+        if not self._tabs:
+            return pool
+        return self._fn(jnp.asarray(pool, self.dtype),
+                        jnp.asarray(values, self.dtype), self._tabs)

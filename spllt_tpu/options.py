@@ -26,9 +26,15 @@ class Options:
     ordering: str = "amd"    # 'amd' | 'nd-grid' | 'rcm' | 'natural'
     grid_shape: tuple | None = None  # for 'nd-grid'
     prune_tree: bool = True  # subtree coarsening (ref prune_tree)
+    coarse_subtrees: bool = False  # batched dense leaf-subtree phase
+    coarse_span: int = 256   # max dense front size |V|+|B|
+    coarse_waste: float = 8.0  # dense/sparse flop waste bound
     # execution -------------------------------------------------------------
     mode: str = "batched"    # 'batched' (jit level schedule) | 'stf' (oracle)
     schedule: str = "scan"   # 'scan' (bucketed lax.scan) | 'unrolled'
+    precision: str = "highest"  # MXU matmul passes: 'highest' (true f32,
+    #   6 bf16 passes) | 'high' (3 passes) | 'default' (1 bf16 pass;
+    #   pair with refine>=2 — mixed-precision factorization + refinement)
     dtype: str = "float32"   # pool dtype: 'float32' | 'float64'
     refine: int = 2          # iterative-refinement steps in solve (f64 resid)
     ndevices: int = 1        # target device count (ref ncpu/nworker)
@@ -49,6 +55,8 @@ class Options:
             raise ValueError(f"unknown mode {self.mode!r}")
         if self.schedule not in ("scan", "unrolled"):
             raise ValueError(f"unknown schedule {self.schedule!r}")
+        if self.precision not in ("highest", "high", "default"):
+            raise ValueError(f"unknown precision {self.precision!r}")
         if self.dtype not in ("float32", "float64"):
             raise ValueError(f"unknown dtype {self.dtype!r}")
         if self.ndevices < 1:

@@ -155,9 +155,11 @@ def build_multidevice_factor(symb, plan, fplan, ndev: int
     nb = plan.nb
     L = part.blk_local
     shift_scratch = part.nlocal - 1  # local scratch block id
-    HUGE = np.int64(1 << 40)
 
     node_dev = part.part_of_node
+    # per-node local-id shift (all blocks of a node share one shift)
+    node_shift = (L[plan.node_blk_ptr[:-1]]
+                  - plan.node_blk_ptr[:-1]).astype(np.int64)
 
     def owner_of_blk(b):
         return int(node_dev[plan.blk_node[b]])
@@ -177,7 +179,7 @@ def build_multidevice_factor(symb, plan, fplan, ndev: int
     syrk = unbucket(fplan.syrk_ptr, fplan.syrk_src_i, fplan.syrk_src_j,
                     fplan.syrk_dst)
     updbt = unbucket(fplan.updbt_ptr, fplan.updbt_dst, fplan.updbt_mr,
-                     fplan.updbt_mc, fplan.updbt_kthr, fplan.updbt_srcbase)
+                     fplan.updbt_mc, fplan.updbt_svp, fplan.updbt_c)
 
     nlevels = fplan.nlevels
     a_potrf = [[] for _ in range(ndev)]
@@ -202,16 +204,15 @@ def build_multidevice_factor(symb, plan, fplan, ndev: int
         (c_syrk if d == -1 else a_syrk[d]).append(tt)
     a_updbt = [[] for _ in range(ndev)]
     c_updbt = []
-    for lvl, dst, mr, mc, thr, sb in updbt:
-        # source node owns the task; srcbase is blk_id - tile, all blocks of
-        # the source node share one contiguous local shift
-        src_blk0 = sb  # srcbase + tile for tile=0 may not exist; use +k later
-        # recover source node from any real source block: srcbase + kthr//nb
-        src_node = plan.blk_node[sb + thr // nb]
+    for lvl, dst, mr, mc, svp, cw in updbt:
+        src_node = int(fplan.srcvec_node[svp])
         d = int(node_dev[src_node])
-        shift = int(L[sb + thr // nb]) - int(sb + thr // nb)
-        tt = (lvl, int(L[dst]), mr, mc, thr, sb + shift)
+        tt = (lvl, int(L[dst]), mr, mc, svp, cw)
         (c_updbt if d == -1 else a_updbt[d]).append(tt)
+    # srcvec with local shifts (replicated table works for phase C too:
+    # top-node entries get the top mapping on every device)
+    srcvec_local = (fplan.srcvec
+                    + node_shift[fplan.srcvec_node]).astype(np.int64)
 
     # phase C tables (replicated, standard bucketing)
     def bucket_flat(tl, nfields):
@@ -241,7 +242,7 @@ def build_multidevice_factor(symb, plan, fplan, ndev: int
     as_ptr, as_f = _pad_bucket(a_syrk, nlevels, ndev, 3,
                                (scratch, scratch, scratch))
     au_ptr, au_f = _pad_bucket(a_updbt, nlevels, ndev, 5,
-                               (scratch, 0, 0, HUGE, 0))
+                               (scratch, 0, 0, 0, 0))
 
     # local blk_n per device (for updbt col masks); scratch gets nb
     blk_n_local = np.full((ndev, part.nlocal), nb, dtype=np.int64)
@@ -278,7 +279,7 @@ def build_multidevice_factor(symb, plan, fplan, ndev: int
         at_ptr=at_ptr, at_diag=at_f[0], at_dst=at_f[1], at_k=at_f[2],
         as_ptr=as_ptr, as_i=as_f[0], as_j=as_f[1], as_dst=as_f[2],
         au_ptr=au_ptr, au_dst=au_f[0], au_mr=au_f[1], au_mc=au_f[2],
-        au_thr=au_f[3], au_sb=au_f[4],
+        au_svp=au_f[3], au_c=au_f[4],
         cp_ptr=cp_ptr, cp_blk=np.asarray(cp_f[0]), cp_k=np.asarray(cp_f[1]),
         ct_ptr=ct_ptr, ct_diag=np.asarray(ct_f[0]),
         ct_dst=np.asarray(ct_f[1]), ct_k=np.asarray(ct_f[2]),
@@ -286,8 +287,10 @@ def build_multidevice_factor(symb, plan, fplan, ndev: int
         cs_dst=np.asarray(cs_f[2]),
         cu_ptr=cu_ptr, cu_dst=np.asarray(cu_f[0]),
         cu_mr=np.asarray(cu_f[1]), cu_mc=np.asarray(cu_f[2]),
-        cu_thr=np.asarray(cu_f[3]), cu_sb=np.asarray(cu_f[4]),
+        cu_svp=np.asarray(cu_f[3]), cu_c=np.asarray(cu_f[4]),
         blk_n_local=blk_n_local,
+        srcvec_local=srcvec_local,
+        cmax=int(fplan.updbt_c.max()) if len(fplan.updbt_c) else 0,
     )
     return MultiDeviceFactor(
         part=part, nlevels=nlevels, tables=tables,
@@ -308,13 +311,10 @@ def make_sharded_factorize(md: MultiDeviceFactor, mesh, dtype):
     nb = md.nb
     part = md.part
     nlev = md.nlevels
-    t = {k: jnp.asarray(v, dtype=jnp.int32) if v.dtype != np.float64
-         else jnp.asarray(v) for k, v in md.tables.items()}
+    t = {k: jnp.asarray(v, dtype=jnp.int32)
+         for k, v in md.tables.items() if isinstance(v, np.ndarray)}
     maps = jnp.asarray(md.maps, dtype=jnp.int32)
-    # int32 overflows the HUGE pad threshold; clamp to int32 max
-    t["au_thr"] = jnp.asarray(
-        np.minimum(md.tables["au_thr"], np.int64(2**31 - 1)),
-        dtype=jnp.int32)
+    cmax = max(1, int(md.tables["cmax"]))
 
     from ..numeric.factor import _potrf_batch, _trsm_batch
 
@@ -322,6 +322,8 @@ def make_sharded_factorize(md: MultiDeviceFactor, mesh, dtype):
         return jax.lax.dot_general(
             a, b, (((2,), (2,)), ((0,), (0,))),
             precision="highest", preferred_element_type=a.dtype)
+
+    srcvec = t["srcvec_local"]
 
     def run_levels(pool, blk_n, ptrs, arrs, prefix):
         """Shared level loop for phase A (sharded) and C (replicated)."""
@@ -333,16 +335,26 @@ def make_sharded_factorize(md: MultiDeviceFactor, mesh, dtype):
                 dst = arrs[prefix + "u_dst"][s:e]
                 pr = maps[arrs[prefix + "u_mr"][s:e]]
                 pc = maps[arrs[prefix + "u_mc"][s:e]]
-                thr = arrs[prefix + "u_thr"][s:e][:, None]
-                base = arrs[prefix + "u_sb"][s:e][:, None] * nb
-                vr = pr >= thr
-                vc = (pc >= thr) & (iota < blk_n[dst][:, None])
+                svp = arrs[prefix + "u_svp"][s:e]
+                cv = arrs[prefix + "u_c"][s:e]
+                iot_c = jax.lax.broadcasted_iota(jnp.int32, (1, cmax), 1)
+                svi = jnp.minimum(svp[:, None] + iot_c,
+                                  srcvec.shape[0] - 1)
+                sv = srcvec[svi]
+                kbm = iot_c < cv[:, None]
+                vr = pr >= 0
+                vc = (pc >= 0) & (iota < blk_n[dst][:, None])
                 poolf = pool.reshape(-1, nb)
-                r = poolf[jnp.where(vr, base + pr, 0)]
-                r = r * vr[..., None].astype(pool.dtype)
-                c = poolf[jnp.where(vc, base + pc, 0)]
-                c = c * vc[..., None].astype(pool.dtype)
-                pool = pool.at[dst].add(-bmm_nt(r, c))
+
+                def gathw(p, v):
+                    val = v[:, :, None] & kbm[:, None, :]
+                    fr = jnp.where(val,
+                                   sv[:, None, :] * nb + p[:, :, None], 0)
+                    g = poolf[fr] * val[..., None].astype(pool.dtype)
+                    return g.reshape(g.shape[0], nb, cmax * nb)
+
+                pool = pool.at[dst].add(
+                    -bmm_nt(gathw(pr, vr), gathw(pc, vc)))
             s, e = int(s_ptr[lvl]), int(s_ptr[lvl + 1])
             if e > s:
                 si = arrs[prefix + "s_i"][s:e]
@@ -479,6 +491,6 @@ def dryrun(n_devices: int) -> None:
     g = reconstruct_global_pool(md, out, plan)
     pool_ref = assemble_np(plan, symb.a_perm.values, dtype=np.float64)
     pool_ref = factorize_np(pool_ref, fplan)
-    err = float(np.max(np.abs(g - pool_ref)))
+    err = float(np.max(np.abs(g - pool_ref[:plan.nblocks])))
     assert err < 1e-3, f"multi-device factor mismatch: {err}"
     print(f"dryrun_multichip({n_devices}): max |Δpool| = {err:.2e} ok")

@@ -9,21 +9,31 @@ every task from the block dependence structure, and bucket tasks by
 (level, kind).  Execution is then a statically compiled sequence of batched
 same-shape kernels — one batch per (level, kind) — under a single jit.
 
-Level rule (all tasks inside one level are independent by construction):
-  potrf(d):        lvl = upd_level[d] + 1;             fact_level[d] = lvl
-  trsm(d → i):     lvl = max(fact[d], upd[i]) + 1;     fact_level[i] = lvl
+Level rule (phase-aware): within a level the executor applies the kinds in
+the fixed order update → potrf → trsm, so a dependency that follows this
+phase order may share a level — only update tasks (which consume trsm
+outputs) must start a new level:
   update(… → t):   lvl = max(fact[sources]) + 1;       upd_level[t] ⊔= lvl
-(updates into the same target commute — executed as scatter-adds).
+  potrf(d):        lvl = max(upd_level[d], 1);         fact_level[d] = lvl
+  trsm(d → i):     lvl = max(fact[d], upd[i], 1);      fact_level[i] = lvl
+(updates into the same target commute — executed as scatter-adds).  This
+collapses the naive 3-levels-per-block-column chain to ~1 level per block
+column along the critical path.
 
 Inter-node updates (``update_between``) use deduplicated position-map
 tables: for (source node s, ancestor a, tile tb of a) one int32[nb] vector
-``map[t] = position of a.rows[tb·nb+t] in s.rows (or -1)``.  A task stores
-(dest, map_row_id, map_col_id, k·nb threshold, source block base); validity
-``p >= k·nb`` is evaluated in-kernel, so one map serves every source block
-column k — the analogue of the reference's row/col scatter lists
+``map[t] = position of a.rows[tb·nb+t] in s.rows (or -1)`` — the analogue
+of the reference's row/col scatter lists
 (``spllt_update_between_compute_map``,
 /root/reference/src/spllt_kernels_mod.F90:1606-1723) at a fraction of the
-memory.
+memory.  Because every between-update source row lies below the source
+node's diagonal (position p >= ncols > kb·nb for every block column kb),
+the per-block-column tasks of the reference fuse into ONE task per
+(source node → destination tile pair) contracting over the node's full
+column width: a task stores (dest, map_row_id, map_col_id, srcvec offset,
+ncoltiles), where the srcvec table gives the per-block-column flat row
+bases.  This cuts task and scatter counts by the node width and feeds the
+MXU [nb, C·nb] × [C·nb, nb] products.
 """
 
 from __future__ import annotations
@@ -56,17 +66,22 @@ class FactorPlan:
     syrk_src_i: np.ndarray
     syrk_src_j: np.ndarray
     syrk_dst: np.ndarray
-    # inter-node update (update_between) ----------------------------------
+    # inter-node update (update_between, width-fused) ---------------------
     updbt_ptr: np.ndarray
     updbt_dst: np.ndarray
     updbt_mr: np.ndarray
     updbt_mc: np.ndarray
-    updbt_kthr: np.ndarray
-    updbt_srcbase: np.ndarray
+    updbt_svp: np.ndarray     # offset into srcvec (per-node col-tile bases)
+    updbt_c: np.ndarray       # number of column tiles of the source node
+    srcvec: np.ndarray        # flat row base per (node, kb): srcbase values
+    srcvec_node: np.ndarray   # source node of each srcvec entry
     maps: np.ndarray          # [nmaps, nb] int32, -1 = invalid slot
     # masks ---------------------------------------------------------------
     blk_n: np.ndarray         # int32[nblocks]
     num_tasks: int = 0
+    # dense coarse-subtree phase (see analyse/coarsen.py); list of per-
+    # spad-bucket dicts or None when coarsening is off
+    dense: list | None = None
 
     def level_counts(self) -> dict:
         return {
@@ -89,16 +104,20 @@ def _bucket(levels, nlevels, *fields):
     return ptr, out
 
 
-def build_factor_plan(symb, plan: BlockPlan) -> FactorPlan:
+def build_factor_plan(symb, plan: BlockPlan, coarse=None) -> FactorPlan:
     nb = plan.nb
     nnodes = plan.nnodes
     fact_level = np.zeros(plan.nblocks, dtype=np.int64)
     upd_level = np.zeros(plan.nblocks, dtype=np.int64)
+    sub_of = (coarse.sub_of_node if coarse is not None
+              else np.full(nnodes, -1, dtype=np.int64))
 
     potrf = []   # (lvl, blk, k)
     trsm = []    # (lvl, diag, dst, k)
     syrk = []    # (lvl, src_i, src_j, dst)
-    updbt = []   # (lvl, dst, mr, mc, kthr, srcbase)
+    updbt = []   # (lvl, dst, mr, mc, svp, C)
+    srcvec: list[int] = []    # per (node, kb) source row base, node-major
+    srcvec_node: list[int] = []
 
     map_registry: dict[bytes, int] = {}
     map_list: list[np.ndarray] = []
@@ -124,34 +143,51 @@ def build_factor_plan(symb, plan: BlockPlan) -> FactorPlan:
         def bid(ib, jb, _b0=b0, _T=T):
             return _b0 + jb * _T - (jb * (jb - 1)) // 2 + (ib - jb)
 
+        in_coarse = sub_of[nd] != -1
         # ---- intra-node right-looking factorization ---------------------- #
-        for kb in range(C):
-            d = bid(kb, kb)
-            kcols = int(plan.blk_n[d])
-            lvl = upd_level[d] + 1
-            fact_level[d] = lvl
-            potrf.append((lvl, d, kcols))
-            for ib in range(kb + 1, T):
-                t = bid(ib, kb)
-                lvl = max(fact_level[d], upd_level[t]) + 1
-                fact_level[t] = lvl
-                trsm.append((lvl, d, t, kcols))
-            for jb2 in range(kb + 1, C):
-                sj = bid(jb2, kb)
-                for ib2 in range(jb2, T):
-                    si = bid(ib2, kb)
-                    dst = bid(ib2, jb2)
-                    lvl = max(fact_level[si], fact_level[sj]) + 1
-                    syrk.append((lvl, si, sj, dst))
-                    upd_level[dst] = max(upd_level[dst], lvl)
+        if in_coarse:
+            # blocks are produced by the batched dense subtree phase
+            # (scatter-back completes before level 1)
+            fact_level[plan.node_blk_ptr[nd]:plan.node_blk_ptr[nd + 1]] = 1
+        else:
+            for kb in range(C):
+                d = bid(kb, kb)
+                kcols = int(plan.blk_n[d])
+                lvl = max(upd_level[d], 1)
+                fact_level[d] = lvl
+                potrf.append((lvl, d, kcols))
+                for ib in range(kb + 1, T):
+                    t = bid(ib, kb)
+                    lvl = max(fact_level[d], upd_level[t], 1)
+                    fact_level[t] = lvl
+                    trsm.append((lvl, d, t, kcols))
+                for jb2 in range(kb + 1, C):
+                    sj = bid(jb2, kb)
+                    for ib2 in range(jb2, T):
+                        si = bid(ib2, kb)
+                        dst = bid(ib2, jb2)
+                        lvl = max(fact_level[si], fact_level[sj]) + 1
+                        syrk.append((lvl, si, sj, dst))
+                        upd_level[dst] = max(upd_level[dst], lvl)
 
         # ---- inter-node updates into ancestors --------------------------- #
+        # All between-update source rows are below the node's diagonal
+        # (position >= ncols), so the contraction runs over the node's full
+        # column width: one task per (node → ancestor dest tile).
+        svp0 = len(srcvec)
+        for kb in range(C):
+            srcvec.append(b0 + kb * T - (kb * (kb - 1)) // 2 - kb)
+            srcvec_node.append(nd)
         nrows = rows_all[rptr[nd]:rptr[nd + 1]]
         anc = int(sparent[nd])
         while anc != -1:
             lo = int(np.searchsorted(nrows, plan.node_sa[anc]))
             if lo >= len(nrows):
                 break
+            if in_coarse and sub_of[anc] == sub_of[nd]:
+                # destination lives inside the same dense subtree front
+                anc = int(sparent[anc])
+                continue
             hi = int(np.searchsorted(nrows, plan.node_en[anc] + 1))
             if hi > lo:
                 s_glob = nrows[lo:]
@@ -175,34 +211,27 @@ def build_factor_plan(symb, plan: BlockPlan) -> FactorPlan:
                 # column-role tiles: positions that are columns of anc
                 ncols_part = hi - lo
                 col_tiles = np.unique(tiles_a[:ncols_part])
-                col_ps = {int(tb): p_src[:ncols_part][tiles_a[:ncols_part]
-                                                      == tb]
-                          for tb in col_tiles}
                 aT = int(plan.node_ntiles[anc])
                 a0 = int(plan.node_blk_ptr[anc])
-                for kb in range(C):
-                    thr = kb * nb
-                    jlist = [tb for tb in col_tiles
-                             if col_ps[int(tb)].max() >= thr]
-                    ilist = [tb for tb in touched
-                             if tile_ps[int(tb)].max() >= thr]
-                    srcbase = b0 + kb * T - (kb * (kb - 1)) // 2 - kb
-                    for jbt in jlist:
-                        for ibt in ilist:
-                            if ibt < jbt:
-                                continue
-                            ps_i = tile_ps[int(ibt)]
-                            ps_j = col_ps[int(jbt)]
-                            used = np.unique(np.concatenate(
-                                [ps_i[ps_i >= thr], ps_j[ps_j >= thr]]
-                            ) // nb)
-                            lvl = 1 + max(
-                                int(fact_level[srcbase + st]) for st in used)
-                            dst = a0 + jbt * aT - (jbt * (jbt - 1)) // 2 \
-                                + (ibt - jbt)
-                            updbt.append((lvl, dst, map_ids[int(ibt)],
-                                          map_ids[int(jbt)], thr, srcbase))
-                            upd_level[dst] = max(upd_level[dst], lvl)
+                for jbt in col_tiles:
+                    for ibt in touched:
+                        if ibt < jbt:
+                            continue
+                        ps_i = tile_ps[int(ibt)]
+                        # sources: blocks (tile, kb) for kb <= tile; the
+                        # last block column is factored last, so the level
+                        # is set by the used tiles' last-column trsms
+                        lvl = 1 + max(
+                            int(fact_level[bid(int(st), min(int(st), C - 1))
+                                           ])
+                            for st in np.unique(
+                                np.concatenate([ps_i,
+                                                tile_ps[int(jbt)]]) // nb))
+                        dst = a0 + jbt * aT - (jbt * (jbt - 1)) // 2 \
+                            + (ibt - jbt)
+                        updbt.append((lvl, dst, map_ids[int(ibt)],
+                                      map_ids[int(jbt)], svp0, C))
+                        upd_level[dst] = max(upd_level[dst], lvl)
             anc = int(sparent[anc])
 
     nlevels = 0
@@ -221,12 +250,14 @@ def build_factor_plan(symb, plan: BlockPlan) -> FactorPlan:
     s_ptr, (s_i, s_j, s_dst) = _bucket(cols(syrk, 0), nlevels,
                                        cols(syrk, 1), cols(syrk, 2),
                                        cols(syrk, 3))
-    u_ptr, (u_dst, u_mr, u_mc, u_thr, u_sb) = _bucket(
+    u_ptr, (u_dst, u_mr, u_mc, u_svp, u_c) = _bucket(
         cols(updbt, 0), nlevels, cols(updbt, 1), cols(updbt, 2),
         cols(updbt, 3), cols(updbt, 4), cols(updbt, 5))
 
     maps = (np.stack(map_list) if map_list
             else np.empty((1, nb), dtype=np.int32))
+    dense = (_build_dense_phase(symb, plan, coarse)
+             if coarse is not None and coarse.nsub > 0 else None)
     return FactorPlan(
         nb=nb, nblocks=plan.nblocks, nlevels=nlevels,
         potrf_ptr=p_ptr, potrf_blk=np.asarray(p_blk, np.int64),
@@ -240,9 +271,125 @@ def build_factor_plan(symb, plan: BlockPlan) -> FactorPlan:
         updbt_ptr=u_ptr, updbt_dst=np.asarray(u_dst, np.int64),
         updbt_mr=np.asarray(u_mr, np.int64),
         updbt_mc=np.asarray(u_mc, np.int64),
-        updbt_kthr=np.asarray(u_thr, np.int64),
-        updbt_srcbase=np.asarray(u_sb, np.int64),
+        updbt_svp=np.asarray(u_svp, np.int64),
+        updbt_c=np.asarray(u_c, np.int64),
+        srcvec=np.asarray(srcvec if srcvec else [0], np.int64),
+        srcvec_node=np.asarray(srcvec_node if srcvec_node else [0],
+                               np.int64),
         maps=maps,
         blk_n=plan.blk_n.astype(np.int32),
         num_tasks=len(potrf) + len(trsm) + len(syrk) + len(updbt),
+        dense=dense,
     )
+
+
+_SPADS = (64, 128, 256, 512, 1024)
+
+
+def _build_dense_phase(symb, plan: BlockPlan, coarse) -> list:
+    """Per-spad-bucket tables for the batched dense subtree phase."""
+    nb = plan.nb
+    a = symb.a_perm
+    n = a.n
+    nnodes = plan.nnodes
+    col_node = np.repeat(np.arange(nnodes),
+                         (plan.node_en - plan.node_sa + 1))
+    sub_of_col = np.full(n, -1, dtype=np.int64)
+    sub_of_col[:len(col_node)] = coarse.sub_of_node[col_node]
+
+    def spad_of(span):
+        for s in _SPADS:
+            if span <= s:
+                return s
+        raise ValueError(f"subtree span {span} exceeds {_SPADS[-1]}")
+
+    buckets: dict[int, dict] = {}
+    sub_local = np.empty(coarse.nsub, dtype=np.int64)
+    sub_bucket = np.empty(coarse.nsub, dtype=np.int64)
+    for s in range(coarse.nsub):
+        sp = spad_of(int(coarse.span[s]))
+        b = buckets.setdefault(sp, {
+            "spad": sp, "subs": [], "kvec": [],
+            "asm_sub": [], "asm_r": [], "asm_c": [], "asm_vidx": [],
+            "sc_blk": [], "sc_sub": [], "sc_rpos": [], "sc_rval": [],
+            "sc_cpos": [], "sc_cval": [],
+        })
+        sub_local[s] = len(b["subs"])
+        sub_bucket[s] = sp
+        b["subs"].append(s)
+        b["kvec"].append(int(coarse.v_hi[s] - coarse.v_lo[s] + 1))
+
+    def pos_in_span(s, rows):
+        vlen = int(coarse.v_hi[s] - coarse.v_lo[s] + 1)
+        bs = coarse.boundary(s)
+        return np.where(rows <= coarse.v_hi[s], rows - coarse.v_lo[s],
+                        vlen + np.searchsorted(bs, rows))
+
+    # ---- dense assembly map (A entries with column inside a front) ------ #
+    cols_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(a.colptr))
+    entry_sub = sub_of_col[cols_of]
+    sel = np.nonzero(entry_sub != -1)[0]
+    for idx in sel:
+        s = int(entry_sub[idx])
+        b = buckets[int(sub_bucket[s])]
+        b["asm_sub"].append(int(sub_local[s]))
+        b["asm_r"].append(int(pos_in_span(s, a.rowind[idx])))
+        b["asm_c"].append(int(cols_of[idx] - coarse.v_lo[s]))
+        b["asm_vidx"].append(int(idx))
+
+    # ---- scatter-back maps (front -> pool blocks) ----------------------- #
+    for nd in range(nnodes):
+        s = int(coarse.sub_of_node[nd])
+        if s == -1:
+            continue
+        b = buckets[int(sub_bucket[s])]
+        T = int(plan.node_ntiles[nd])
+        C = int(plan.node_nctiles[nd])
+        b0 = int(plan.node_blk_ptr[nd])
+        w = int(plan.node_en[nd] - plan.node_sa[nd] + 1)
+        nrows = plan.rows[plan.node_rptr[nd]:plan.node_rptr[nd + 1]]
+        blk = b0
+        for jb in range(C):
+            kcols = min(nb, w - jb * nb)
+            cpos = np.zeros(nb, dtype=np.int64)
+            cval = np.zeros(nb, dtype=bool)
+            cpos[:kcols] = (plan.node_sa[nd] + jb * nb
+                            + np.arange(kcols)) - coarse.v_lo[s]
+            cval[:kcols] = True
+            for ib in range(jb, T):
+                g = nrows[ib * nb:(ib + 1) * nb]
+                rpos = np.zeros(nb, dtype=np.int64)
+                rval = np.zeros(nb, dtype=bool)
+                rpos[:len(g)] = pos_in_span(s, g)
+                rval[:len(g)] = True
+                b["sc_blk"].append(blk)
+                b["sc_sub"].append(int(sub_local[s]))
+                b["sc_rpos"].append(rpos)
+                b["sc_rval"].append(rval)
+                b["sc_cpos"].append(cpos)
+                b["sc_cval"].append(cval)
+                blk += 1
+
+    out = []
+    for sp in sorted(buckets):
+        b = buckets[sp]
+        out.append({
+            "spad": sp,
+            "nsub": len(b["subs"]),
+            "kvec": np.asarray(b["kvec"], np.int64),
+            "asm_sub": np.asarray(b["asm_sub"], np.int64),
+            "asm_r": np.asarray(b["asm_r"], np.int64),
+            "asm_c": np.asarray(b["asm_c"], np.int64),
+            "asm_vidx": np.asarray(b["asm_vidx"], np.int64),
+            "sc_blk": np.asarray(b["sc_blk"], np.int64),
+            "sc_sub": np.asarray(b["sc_sub"], np.int64),
+            "sc_rpos": (np.stack(b["sc_rpos"]) if b["sc_blk"]
+                        else np.empty((0, nb), np.int64)),
+            "sc_rval": (np.stack(b["sc_rval"]) if b["sc_blk"]
+                        else np.empty((0, nb), bool)),
+            "sc_cpos": (np.stack(b["sc_cpos"]) if b["sc_blk"]
+                        else np.empty((0, nb), np.int64)),
+            "sc_cval": (np.stack(b["sc_cval"]) if b["sc_blk"]
+                        else np.empty((0, nb), bool)),
+        })
+    return out

@@ -87,10 +87,13 @@ def build_solve_plan(symb, plan: BlockPlan) -> SolvePlan:
         out[: e - s] = plan.rows[s:e]
         return out
 
-    # Leveling model: per global row, ``last_write`` = level of the latest
-    # exclusive write, ``pending`` = max level of commutative adds since.
-    # A diagonal-tile SOLVE writes its k column rows exclusively and ADDS
-    # into its (shared, within-tile) below rows; UPD tasks are pure adds.
+    # Leveling model (phase-aware): per global row, ``last_write`` = level
+    # of the latest exclusive write, ``pending`` = max level of commutative
+    # adds.  A diagonal-tile SOLVE writes its k column rows exclusively and
+    # ADDS into its (shared, within-tile) below rows; UPD tasks are pure
+    # adds.  The executors apply phases in a fixed order inside one level —
+    # fwd: SOLVE then UPD, bwd: UPD then SOLVE — so dependencies along that
+    # order share a level (1 level per pivot column on the critical path).
 
     # ---------------- forward ------------------------------------------- #
     last_write = np.zeros(n + 1, dtype=np.int64)
@@ -108,9 +111,12 @@ def build_solve_plan(symb, plan: BlockPlan) -> SolvePlan:
             rows = tile_rows(nd, jb)
             colsv = rows[:k]                      # always valid (k <= blkm)
             belowv = rows[k:][rows[k:] < n]
-            lvl = 1 + int(max(last_write[colsv].max(initial=0),
-                              pending[colsv].max(initial=0),
-                              last_write[belowv].max(initial=0)))
+            # strictly after any adds into our columns (UPD phase runs
+            # after SOLVE within a level) and any exclusive write
+            lvl = int(max(pending[colsv].max(initial=0) + 1,
+                          last_write[colsv].max(initial=0) + 1,
+                          last_write[belowv].max(initial=0) + 1,
+                          1))
             last_write[colsv] = lvl
             pending[colsv] = lvl
             pending[belowv] = np.maximum(pending[belowv], lvl)
@@ -121,8 +127,9 @@ def build_solve_plan(symb, plan: BlockPlan) -> SolvePlan:
                 blk = d + (ib - jb)
                 wrows = tile_rows(nd, ib)
                 wv = wrows[wrows < n]
-                ulvl = 1 + int(max(last_write[cols].max(initial=0),
-                                   last_write[wv].max(initial=0)))
+                # may share the level with the SOLVE that produced cols
+                ulvl = int(max(last_write[cols].max(initial=0),
+                               last_write[wv].max(initial=0), 1))
                 pending[wv] = np.maximum(pending[wv], ulvl)
                 fupd.append((ulvl, blk, wrows, c0, k))
     nlev_f = max([t[0] for t in fsol + fupd], default=0)
@@ -146,17 +153,21 @@ def build_solve_plan(symb, plan: BlockPlan) -> SolvePlan:
                 blk = d + (ib - jb)
                 rrows = tile_rows(nd, ib)
                 rv = rrows[rrows < n]
-                ulvl = 1 + int(max(last_write[rv].max(initial=0),
-                                   last_write[cols].max(initial=0)))
+                # strictly after the SOLVEs that finalized the read rows
+                # (SOLVE phase runs after UPD within a level)
+                ulvl = int(max(last_write[rv].max(initial=0) + 1,
+                               last_write[cols].max(initial=0), 1))
                 pending[cols] = np.maximum(pending[cols], ulvl)
                 bupd.append((ulvl, blk, rrows, c0, k))
             rows = tile_rows(nd, jb)
             colsv = rows[:k]
             belowv = rows[k:][rows[k:] < n]
-            # reads below rows (final values), exclusively writes cols
-            lvl = 1 + int(max(last_write[colsv].max(initial=0),
-                              pending[colsv].max(initial=0),
-                              last_write[belowv].max(initial=0)))
+            # may share the level with the UPDs into its columns; must be
+            # strictly after the SOLVEs that wrote the read below rows
+            lvl = int(max(pending[colsv].max(initial=0),
+                          last_write[colsv].max(initial=0) + 1,
+                          last_write[belowv].max(initial=0) + 1,
+                          1))
             last_write[colsv] = lvl
             pending[colsv] = lvl
             bsol.append((lvl, d, rows, k))

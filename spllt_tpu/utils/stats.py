@@ -20,11 +20,12 @@ def factor_plan_stats(fp, buckets=None) -> dict:
     widths = {k: (int(v.max()) if len(v) else 0) for k, v in counts.items()}
     total = {k: int(v.sum()) for k, v in counts.items()}
     nb = fp.nb
+    updbt_width = int(fp.updbt_c.sum()) if len(fp.updbt_c) else 0
     flops = {
         "potrf": total["potrf"] * nb ** 3 / 3,
         "trsm": total["trsm"] * nb ** 3,
         "syrk": total["syrk"] * 2 * nb ** 3,
-        "updbt": total["updbt"] * 2 * nb ** 3,
+        "updbt": updbt_width * 2 * nb ** 3,  # width-fused tasks
     }
     out = {
         "nlevels": fp.nlevels,

@@ -65,7 +65,7 @@ def test_multidevice_matches_oracle(ndev):
     g, symb, plan, fplan = _factor_multidevice(ndev)
     ref = assemble_np(plan, symb.a_perm.values, dtype=np.float64)
     ref = factorize_np(ref, fplan)
-    assert float(np.max(np.abs(g - ref))) < 1e-4
+    assert float(np.max(np.abs(g - ref[:plan.nblocks]))) < 1e-4
 
 
 def test_multidevice_deterministic_rerun():

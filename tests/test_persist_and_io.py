@@ -1,0 +1,87 @@
+"""Persistence (checkpoint/resume) and matrix reader tests."""
+
+import os
+
+import numpy as np
+
+from spllt_tpu import Options, analyse, factor, make_rhs, poisson2d, solve
+from spllt_tpu.sparse.io import read_matrix_market, read_rutherford_boeing
+from spllt_tpu.utils.persist import (load_factor, load_symbolic,
+                                     save_factor, save_symbolic)
+
+
+def test_symbolic_roundtrip(tmp_path):
+    mat = poisson2d(10)
+    opts = Options(ordering="natural", nb=8, mode="stf", prune_tree=False)
+    symb = analyse(mat, opts)
+    p = str(tmp_path / "symb.npz")
+    save_symbolic(p, symb)
+    symb2 = load_symbolic(p)
+    assert symb2.n == symb.n
+    np.testing.assert_array_equal(symb2.perm, symb.perm)
+    np.testing.assert_array_equal(symb2.forest.rows, symb.forest.rows)
+    # the reloaded symbolic factor is usable end-to-end
+    num = factor(symb2)
+    xt, b = make_rhs(mat, 1)
+    x = solve(num, b[:, 0])
+    r = mat.matvec(x) - b[:, 0]
+    assert np.linalg.norm(r) / np.linalg.norm(b[:, 0]) < 1e-13
+
+
+def test_factor_checkpoint_resume(tmp_path):
+    mat = poisson2d(10)
+    opts = Options(ordering="natural", nb=8, mode="stf", prune_tree=False)
+    num = factor(analyse(mat, opts))
+    p = str(tmp_path / "fact.npz")
+    save_factor(p, num)
+    num2 = load_factor(p)
+    xt, b = make_rhs(mat, 2)
+    x = solve(num2, b)
+    r = mat.matvec(x) - b
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-13
+
+
+def _mm_text():
+    return """%%MatrixMarket matrix coordinate real symmetric
+% test matrix
+3 3 5
+1 1 4.0
+2 2 4.0
+3 3 4.0
+2 1 -1.0
+3 2 -1.0
+"""
+
+
+def test_matrix_market_reader(tmp_path):
+    p = tmp_path / "t.mtx"
+    p.write_text(_mm_text())
+    a = read_matrix_market(str(p), force_posdef=False)
+    a.verify()
+    assert a.n == 3 and a.nnz == 5
+    dense = a.to_scipy().toarray()
+    np.testing.assert_allclose(
+        dense, [[4, -1, 0], [-1, 4, -1], [0, -1, 4]])
+
+
+def test_rutherford_boeing_reader(tmp_path):
+    # minimal RSA file: 3x3 tridiagonal, 1-based fortran layout
+    txt = (
+        "title                                                   key\n"
+        "             3             1             1             1\n"
+        "rsa                        3             3             5"
+        "             0\n"
+        "(4I14)          (4I14)          (4E20.12)\n"
+        "             1             3             5             6\n"
+        "             1             2             2             3"
+        "             3\n"
+        "  4.0 -1.0 4.0 -1.0 4.0\n"
+    )
+    p = tmp_path / "t.rb"
+    p.write_text(txt)
+    a = read_rutherford_boeing(str(p), force_posdef=False)
+    a.verify()
+    assert a.n == 3 and a.nnz == 5
+    dense = a.to_scipy().toarray()
+    np.testing.assert_allclose(
+        dense, [[4, -1, 0], [-1, 4, -1], [0, -1, 4]])
