@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dump a Chrome-trace JSON of host-side phases")
     p.add_argument("--schedule", default="scan",
                    choices=["scan", "unrolled"])
+    p.add_argument("--coarse", action="store_true",
+                   help="batched dense leaf-subtree phase")
+    p.add_argument("--dot-tree", metavar="PATH", default=None,
+                   help="dump the assembly tree as DOT (atree analogue)")
     return p
 
 
@@ -95,6 +99,7 @@ def main(argv=None) -> int:
         grid_shape=grid_shape, mode=args.mode, dtype=args.dtype,
         refine=args.refine, prune_tree=not args.no_prune_tree,
         ndevices=args.ndev, schedule=args.schedule,
+        coarse_subtrees=args.coarse,
     )
 
     from .utils.timers import print_timers, timer
@@ -110,6 +115,11 @@ def main(argv=None) -> int:
           f"nnz(L)={symb.inform.num_factor} "
           f"flops={symb.inform.num_flops:.3e} "
           f"depth={symb.inform.maxdepth} time={t_analyse:.3f}s")
+    if args.dot_tree:
+        from .utils.dot import atree_dot
+
+        atree_dot(symb, args.dot_tree)
+        print(f"[atree  ] wrote {args.dot_tree}")
 
     xt, b = make_rhs(a, nrhs=args.nrhs)
     t_factor = []

@@ -329,13 +329,22 @@ def _build_dense_phase(symb, plan: BlockPlan, coarse) -> list:
     cols_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(a.colptr))
     entry_sub = sub_of_col[cols_of]
     sel = np.nonzero(entry_sub != -1)[0]
-    for idx in sel:
-        s = int(entry_sub[idx])
+    # vectorized per subtree (entries of one subtree are contiguous in the
+    # CSC order since its columns are contiguous)
+    order = np.argsort(entry_sub[sel], kind="stable")
+    sel = sel[order]
+    esub = entry_sub[sel]
+    starts = np.searchsorted(esub, np.arange(coarse.nsub))
+    ends = np.searchsorted(esub, np.arange(coarse.nsub) + 1)
+    for s in range(coarse.nsub):
+        idx = sel[starts[s]:ends[s]]
+        if len(idx) == 0:
+            continue
         b = buckets[int(sub_bucket[s])]
-        b["asm_sub"].append(int(sub_local[s]))
-        b["asm_r"].append(int(pos_in_span(s, a.rowind[idx])))
-        b["asm_c"].append(int(cols_of[idx] - coarse.v_lo[s]))
-        b["asm_vidx"].append(int(idx))
+        b["asm_sub"].extend([int(sub_local[s])] * len(idx))
+        b["asm_r"].extend(pos_in_span(s, a.rowind[idx]).tolist())
+        b["asm_c"].extend((cols_of[idx] - coarse.v_lo[s]).tolist())
+        b["asm_vidx"].extend(idx.tolist())
 
     # ---- scatter-back maps (front -> pool blocks) ----------------------- #
     for nd in range(nnodes):
