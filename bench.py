@@ -24,7 +24,9 @@ M = int(os.environ.get("BENCH_M", "32"))
 NB = int(os.environ.get("BENCH_NB", "128"))
 NEMIN = int(os.environ.get("BENCH_NEMIN", "64"))
 PRECISION = os.environ.get("BENCH_PRECISION", "highest")
-COARSE = os.environ.get("BENCH_COARSE", "1") not in ("0", "", "false")
+COARSE = os.environ.get("BENCH_COARSE", "0") not in ("0", "", "false")
+# (coarse default off for the driver: its batched 256-cholesky compiles
+#  >40 min server-side; enable with BENCH_COARSE=1 once warmed)
 # our own recorded baseline (GFLOP/s) to report progress against; the
 # reference publishes no numbers (BASELINE.md)
 BASELINE_GFLOPS = float(os.environ.get("BENCH_BASELINE", "0") or 0)

@@ -1,0 +1,103 @@
+"""Pallas fused update kernel vs the XLA gather/GEMM/scatter path.
+
+Honest timing (chained executions + forced fetch; see memory notes on the
+axon relay).  Synthetic workload shaped like a real wide factorization
+level: K update micro-tasks, nb tile, hmax source panel.
+
+    python bench_kernels/bench_update.py [--k 2000] [--nb 128] [--hmax 512]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=2000)
+    ap.add_argument("--nb", type=int, default=128)
+    ap.add_argument("--hmax", type=int, default=512)
+    ap.add_argument("--nblk", type=int, default=4000)
+    ap.add_argument("--reps", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from spllt_tpu.numeric.pallas_update import pallas_apply_updates
+
+    k, nb, hmax, nblk = args.k, args.nb, args.hmax, args.nblk
+    rows = nblk * nb
+    rng = np.random.default_rng(0)
+    poolf = rng.standard_normal((rows, nb)).astype(np.float32) * 0.01
+    nmaps = 400
+    maps = np.full((nmaps, nb), -1, dtype=np.int32)
+    for m in range(nmaps):
+        cnt = rng.integers(nb // 2, nb + 1)
+        maps[m, :cnt] = np.sort(rng.choice(hmax - 1, size=cnt,
+                                           replace=False))
+    dst = np.sort(rng.choice(nblk - 1, size=k, replace=True)).astype(
+        np.int32)
+    tasks = {
+        "dst": dst,
+        "mr": rng.integers(0, nmaps, size=k).astype(np.int32),
+        "mc": rng.integers(0, nmaps, size=k).astype(np.int32),
+        "lo": rng.integers(0, rows - hmax, size=k).astype(np.int32),
+        "pmin": np.zeros(k, dtype=np.int32),
+        "blkn": np.full(k, nb, dtype=np.int32),
+    }
+    jmaps = jnp.asarray(maps)
+    jt = {kk: jnp.asarray(v) for kk, v in tasks.items()}
+    jt_np = tasks
+
+    # ---------------- pallas path ---------------------------------------- #
+    def pal(pf):
+        return pallas_apply_updates(pf, jmaps, jt_np, nb=nb, hmax=hmax)
+
+    pal_j = jax.jit(pal, donate_argnums=(0,))
+
+    # ---------------- XLA path (mirrors the executor's level body) ------- #
+    def xla(pf):
+        pr = jmaps[jt["mr"]]
+        pc = jmaps[jt["mc"]]
+        vr = pr >= 0
+        vc = pc >= 0
+        r = pf[jnp.where(vr, jt["lo"][:, None] + pr, 0)]
+        r = r * vr[..., None].astype(pf.dtype)
+        c = pf[jnp.where(vc, jt["lo"][:, None] + pc, 0)]
+        c = c * vc[..., None].astype(pf.dtype)
+        u = jax.lax.dot_general(r, c, (((2,), (2,)), ((0,), (0,))),
+                                precision="highest",
+                                preferred_element_type=pf.dtype)
+        pool = pf.reshape(nblk, nb, nb)
+        pool = pool.at[jt["dst"]].add(-u)
+        return pool.reshape(rows, nb)
+
+    xla_j = jax.jit(xla, donate_argnums=(0,))
+
+    bytes_moved = k * (hmax * nb + 2 * nb * nb) * 4
+    for name, fn in (("xla", xla_j), ("pallas", pal_j)):
+        pf = jnp.asarray(poolf)
+        pf = fn(pf)
+        float(np.asarray(pf[0, 0]))   # compile + first real exec
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            pf = fn(pf)
+        float(np.asarray(pf[0, 0]))
+        per = (time.perf_counter() - t0) / args.reps
+        print(f"{name:7s}: {per*1e3:8.2f} ms/apply   "
+              f"{2*k*nb*nb*nb/per/1e9:8.1f} GF/s   "
+              f"(K={k}, nb={nb}, hmax={hmax})", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

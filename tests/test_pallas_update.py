@@ -1,0 +1,61 @@
+"""Pallas fused update kernel — semantics vs a NumPy reference
+(interpret mode; real-TPU benchmarking lives in bench_kernels)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from spllt_tpu.numeric.pallas_update import pallas_apply_updates
+
+
+def _reference(poolf, maps, tasks, nb):
+    out = poolf.copy()
+    accs = {}
+    for t in range(len(tasks["dst"])):
+        pr = maps[tasks["mr"][t]]
+        pc = maps[tasks["mc"][t]]
+        lo = tasks["lo"][t]
+        pmin = tasks["pmin"][t]
+        blkn = tasks["blkn"][t]
+        r = np.zeros((nb, nb), np.float32)
+        c = np.zeros((nb, nb), np.float32)
+        for i in range(nb):
+            if pr[i] >= 0:
+                r[i] = poolf[lo + (pr[i] - pmin)]
+            if pc[i] >= 0 and i < blkn:
+                c[i] = poolf[lo + (pc[i] - pmin)]
+        accs.setdefault(int(tasks["dst"][t]),
+                        np.zeros((nb, nb), np.float32))
+        accs[int(tasks["dst"][t])] += r @ c.T
+    for d, u in accs.items():
+        out[d * nb:(d + 1) * nb] -= u
+    return out
+
+
+def test_pallas_update_matches_reference():
+    nb, hmax, nblk = 8, 32, 12
+    rng = np.random.default_rng(0)
+    rows = nblk * nb
+    poolf = rng.standard_normal((rows, nb)).astype(np.float32)
+    maps = np.full((5, nb), -1, dtype=np.int32)
+    # map 0: positions 3..10, map 1: sparse, map 2: full range
+    maps[0, :6] = np.arange(3, 9)
+    maps[1, [0, 2, 5]] = [4, 7, 12]
+    maps[2] = np.arange(nb)
+    tasks = {
+        # two tasks share dst=4 (accumulation path), one task dst=7
+        "dst": np.asarray([4, 4, 7], np.int32),
+        "mr": np.asarray([0, 2, 1], np.int32),
+        "mc": np.asarray([1, 1, 0], np.int32),
+        "lo": np.asarray([0, 8, 16], np.int32),
+        "pmin": np.asarray([0, 0, 2], np.int32),
+        "blkn": np.asarray([nb, 5, nb], np.int32),
+    }
+    ref = _reference(poolf, maps, tasks, nb)
+    got = np.asarray(pallas_apply_updates(
+        jnp.asarray(poolf), jnp.asarray(maps), tasks, nb=nb, hmax=hmax,
+        interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    # untouched tiles pass through unchanged
+    np.testing.assert_array_equal(got[:4 * nb], poolf[:4 * nb])
