@@ -80,28 +80,51 @@ def build_micro_tasks(fp, lvl_lo: int, lvl_hi: int, nb: int, hmax: int,
     return out, spill
 
 
+def _start_task_dmas(slot, t, lo_ref, mr_ref, mc_ref, maps_hbm, poolf_hbm,
+                     panel, mrow, mcrow, sems, hmax):
+    """Kick off the input DMAs of task t into buffer `slot` (double
+    buffering: the next task's panel streams while this one computes)."""
+    pltpu.make_async_copy(maps_hbm.at[pl.ds(mr_ref[t], 1)],
+                          mrow.at[slot], sems.at[3 * slot + 0]).start()
+    pltpu.make_async_copy(maps_hbm.at[pl.ds(mc_ref[t], 1)],
+                          mcrow.at[slot], sems.at[3 * slot + 1]).start()
+    pltpu.make_async_copy(poolf_hbm.at[pl.ds(lo_ref[t], hmax)],
+                          panel.at[slot], sems.at[3 * slot + 2]).start()
+
+
+def _wait_task_dmas(slot, t, lo_ref, mr_ref, mc_ref, maps_hbm, poolf_hbm,
+                    panel, mrow, mcrow, sems, hmax):
+    pltpu.make_async_copy(maps_hbm.at[pl.ds(mr_ref[t], 1)],
+                          mrow.at[slot], sems.at[3 * slot + 0]).wait()
+    pltpu.make_async_copy(maps_hbm.at[pl.ds(mc_ref[t], 1)],
+                          mcrow.at[slot], sems.at[3 * slot + 1]).wait()
+    pltpu.make_async_copy(poolf_hbm.at[pl.ds(lo_ref[t], hmax)],
+                          panel.at[slot], sems.at[3 * slot + 2]).wait()
+
+
 def _kernel(dst_ref, lo_ref, pmin_ref, mr_ref, mc_ref, blkn_ref,
             maps_hbm, poolf_hbm, out_hbm,
             acc, panel, mrow, mcrow, dtile, sems, *, nb, hmax, ktasks):
     t = pl.program_id(0)
+    slot = jax.lax.rem(jnp.int32(t), jnp.int32(2))
+    nxt = jax.lax.rem(jnp.int32(t) + jnp.int32(1), jnp.int32(2))
+    args = (lo_ref, mr_ref, mc_ref, maps_hbm, poolf_hbm, panel, mrow,
+            mcrow, sems, hmax)
 
-    # DMA the map rows and the source panel for this task
-    cp_mr = pltpu.make_async_copy(
-        maps_hbm.at[pl.ds(mr_ref[t], 1)], mrow, sems.at[0])
-    cp_mc = pltpu.make_async_copy(
-        maps_hbm.at[pl.ds(mc_ref[t], 1)], mcrow, sems.at[1])
-    cp_pan = pltpu.make_async_copy(
-        poolf_hbm.at[pl.ds(lo_ref[t], hmax)], panel, sems.at[2])
-    cp_mr.start()
-    cp_mc.start()
-    cp_pan.start()
-    cp_mr.wait()
-    cp_mc.wait()
-    cp_pan.wait()
+    @pl.when(t == 0)
+    def _():
+        _start_task_dmas(slot, t, *args)
+
+    @pl.when(t + 1 < ktasks)
+    def _():
+        _start_task_dmas(nxt, t + 1, *args)
+
+    _wait_task_dmas(slot, t, *args)
 
     pmin = pmin_ref[t]
-    pr = mrow[0]                     # [nb] int32 positions or -1
-    pc = mcrow[0]
+    pan = panel[slot]                # [hmax, nb]
+    pr = mrow[slot].reshape(-1)      # [nb] int32 positions or -1
+    pc = mcrow[slot].reshape(-1)
     iot_h = jax.lax.broadcasted_iota(jnp.int32, (nb, hmax), 1)
     # one-hot gather matrices (invalid slots -> all-zero rows)
     pr_rel = (pr - pmin)[:, None]
@@ -112,9 +135,9 @@ def _kernel(dst_ref, lo_ref, pmin_ref, mr_ref, mc_ref, blkn_ref,
     cmask = (slot < blkn_ref[t]).astype(panel.dtype)
 
     hi = jax.lax.Precision.HIGHEST
-    r = jnp.dot(ponr, panel[:, :], precision=hi,
+    r = jnp.dot(ponr, pan, precision=hi,
                 preferred_element_type=jnp.float32)
-    c = jnp.dot(ponc, panel[:, :], precision=hi,
+    c = jnp.dot(ponc, pan, precision=hi,
                 preferred_element_type=jnp.float32)
     c = c * cmask.reshape(nb, 1)
     u = jax.lax.dot_general(r, c, (((1,), (1,)), ((), ())), precision=hi,
@@ -139,12 +162,12 @@ def _kernel(dst_ref, lo_ref, pmin_ref, mr_ref, mc_ref, blkn_ref,
     def _():
         # read-modify-write the destination tile
         cp_in = pltpu.make_async_copy(
-            poolf_hbm.at[pl.ds(dst_ref[t] * nb, nb)], dtile, sems.at[3])
+            poolf_hbm.at[pl.ds(dst_ref[t] * nb, nb)], dtile, sems.at[6])
         cp_in.start()
         cp_in.wait()
         dtile[:, :] -= acc[:, :]
         cp_out = pltpu.make_async_copy(
-            dtile, out_hbm.at[pl.ds(dst_ref[t] * nb, nb)], sems.at[4])
+            dtile, out_hbm.at[pl.ds(dst_ref[t] * nb, nb)], sems.at[7])
         cp_out.start()
         cp_out.wait()
 
@@ -169,12 +192,12 @@ def pallas_apply_updates(poolf, maps, tasks, nb: int, hmax: int,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((nb, nb), jnp.float32),      # acc
-            pltpu.VMEM((hmax, nb), jnp.float32),    # panel
-            pltpu.VMEM((1, nb), jnp.int32),         # mrow
-            pltpu.VMEM((1, nb), jnp.int32),         # mcrow
-            pltpu.VMEM((nb, nb), jnp.float32),      # dtile
-            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.VMEM((nb, nb), jnp.float32),       # acc
+            pltpu.VMEM((2, hmax, nb), jnp.float32),  # panel (dbl buffer)
+            pltpu.VMEM((2, 1, nb), jnp.int32),       # mrow
+            pltpu.VMEM((2, 1, nb), jnp.int32),       # mcrow
+            pltpu.VMEM((nb, nb), jnp.float32),       # dtile
+            pltpu.SemaphoreType.DMA((8,)),
         ],
     )
     fn = pl.pallas_call(
