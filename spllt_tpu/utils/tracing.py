@@ -53,6 +53,53 @@ class TraceLog:
         with open(path, "w") as f:
             json.dump({"traceEvents": self.events}, f)
 
+    def dump_paje(self, path: str) -> None:
+        """Dump in Paje format for ViTE (exact parity with the reference's
+        ``trace_log_dump_paje``, /root/reference/src/trace_mod.F90:170-307)."""
+        cats = sorted({e["name"] for e in self.events if e["ph"] == "X"})
+        tids = sorted({e["tid"] for e in self.events if e["ph"] == "X"})
+        lines = [
+            "%EventDef PajeDefineContainerType 1",
+            "% Alias string", "% ContainerType string", "% Name string",
+            "%EndEventDef",
+            "%EventDef PajeDefineStateType 3",
+            "% Alias string", "% ContainerType string", "% Name string",
+            "%EndEventDef",
+            "%EventDef PajeDefineEntityValue 6",
+            "% Alias string", "% EntityType string", "% Name string",
+            "% Color color", "%EndEventDef",
+            "%EventDef PajeCreateContainer 7",
+            "% Time date", "% Alias string", "% Type string",
+            "% Container string", "% Name string", "%EndEventDef",
+            "%EventDef PajeSetState 10",
+            "% Time date", "% Type string", "% Container string",
+            "% Value string", "%EndEventDef",
+            "1 CT_Prog 0 'Program'",
+            "1 CT_Thread CT_Prog 'Thread'",
+            "3 ST_ThreadState CT_Thread 'Thread State'",
+            "7 0.000000 C_Prog CT_Prog 0 'Program'",
+        ]
+        for i, c in enumerate(cats):
+            frac = (i + 1) / (len(cats) + 1)
+            lines.append(
+                f"6 V_{i} ST_ThreadState '{c}' '{frac:.2f} {1-frac:.2f} 0.5'")
+        for t in tids:
+            lines.append(
+                f"7 0.000000 C_T{t} CT_Thread C_Prog 'Worker {t}'")
+        vid = {c: i for i, c in enumerate(cats)}
+        evs = sorted((e for e in self.events if e["ph"] == "X"),
+                     key=lambda e: e["ts"])
+        for e in evs:
+            t0 = e["ts"] / 1e6
+            t1 = (e["ts"] + e["dur"]) / 1e6
+            lines.append(f"10 {t0:.6f} ST_ThreadState C_T{e['tid']} "
+                         f"V_{vid[e['name']]}")
+            lines.append(f"10 {t1:.6f} ST_ThreadState C_T{e['tid']} V_idle")
+        lines.insert(len(lines) - 2 * len(evs),
+                     "6 V_idle ST_ThreadState 'idle' '0.9 0.9 0.9'")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
 
 @contextlib.contextmanager
 def device_trace(logdir: str):
