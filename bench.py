@@ -25,6 +25,8 @@ NB = int(os.environ.get("BENCH_NB", "128"))
 NEMIN = int(os.environ.get("BENCH_NEMIN", "64"))
 PRECISION = os.environ.get("BENCH_PRECISION", "highest")
 COARSE = os.environ.get("BENCH_COARSE", "0") not in ("0", "", "false")
+PALLAS = os.environ.get("BENCH_PALLAS", "auto")   # auto | on | off
+HMAX = int(os.environ.get("BENCH_HMAX", "512"))
 # (coarse default off for the driver: its batched 256-cholesky compiles
 #  >40 min server-side; enable with BENCH_COARSE=1 once warmed)
 # our own recorded baseline (GFLOP/s) to report progress against; the
@@ -63,7 +65,8 @@ def main() -> int:
           f"tasks={fplan.num_tasks} time={t_plan:.1f}s", file=sys.stderr)
 
     ex = ScanFactorExecutor(fplan, dtype=jnp.float32,
-                            matmul_precision=PRECISION)
+                            matmul_precision=PRECISION,
+                            pallas_updates=PALLAS, hmax=HMAX)
     dense_ex = None
     if fplan.dense:
         from spllt_tpu.numeric.subtree import DenseSubtreeExecutor

@@ -107,7 +107,9 @@ def factor(symb: SymbolicFactor, a: CscMatrix | None = None,
             from .numeric.factor_scan import ScanFactorExecutor
 
             ex = ScanFactorExecutor(fplan, dtype=dtype,
-                                    matmul_precision=options.precision)
+                                    matmul_precision=options.precision,
+                                    pallas_updates=options.pallas_updates,
+                                    hmax=options.pallas_hmax)
         else:
             from .numeric.factor import FactorExecutor
 

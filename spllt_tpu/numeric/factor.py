@@ -52,6 +52,56 @@ def _potrf_batch(tiles, kvec, nb):
     return out * (coli < k).astype(f32)
 
 
+def _potrf_batch_blocked(tiles, kvec, sp, panel: int = 128,
+                         precision="highest"):
+    """Blocked right-looking batched potrf for wide tiles.
+
+    XLA's lowering of ``lax.linalg.cholesky`` on [B, sp, sp] compiles
+    catastrophically slowly for sp > 128 (>40 min server-side for
+    sp=256).  This runs sp/panel panel steps — panel-wide masked
+    Cholesky (via :func:`_potrf_batch`), a trailing triangular solve of
+    the rows below the panel, and a rank-``panel`` MXU update of the
+    trailing square — so every cholesky call site stays 128-wide.
+    Semantics match ``_potrf_batch(tiles, kvec, sp)`` exactly: columns
+    >= kvec are zeroed, rows >= kvec (boundary rows of a dense front)
+    are solved like any below-rows.
+    """
+    if sp <= panel:
+        return _potrf_batch(tiles, kvec, sp)
+    f32 = tiles.dtype
+    out = tiles
+    for p0 in range(0, sp, panel):
+        w = min(panel, sp - p0)
+        kloc = jnp.clip(kvec - p0, 0, w)
+        dfac = _potrf_batch(out[:, p0:p0 + w, p0:p0 + w], kloc, w)
+        out = out.at[:, p0:p0 + w, p0:p0 + w].set(dfac)
+        if p0 + w >= sp:
+            break
+        ke = kloc[:, None, None]
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (1, w, w), 1)
+        coli = jax.lax.broadcasted_iota(jnp.int32, (1, w, w), 2)
+        # identity on padded diagonal so the solve stays non-singular;
+        # the sub-diagonal below-rows of dfac only feed masked columns
+        cc = dfac + ((rowi == coli) & (rowi >= ke)).astype(f32)
+        below = out[:, p0 + w:, p0:p0 + w]
+        sol = jax.lax.linalg.triangular_solve(
+            cc, below, left_side=False, lower=True, transpose_a=True)
+        colm = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
+                < ke).astype(f32)
+        sol = sol * colm
+        out = out.at[:, p0 + w:, p0:p0 + w].set(sol)
+        upd = jax.lax.dot_general(
+            sol, sol, (((2,), (2,)), ((0,), (0,))),
+            precision=precision, preferred_element_type=f32)
+        out = out.at[:, p0 + w:, p0 + w:].add(-upd)
+    # zero the strict upper triangle / padded columns (panel steps never
+    # touch the above-panel rows of later columns)
+    ke = kvec[:, None, None]
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (1, sp, sp), 1)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (1, sp, sp), 2)
+    return out * ((coli <= rowi) & (coli < ke)).astype(f32)
+
+
 def _trsm_batch(diag_tiles, dst_tiles, kvec, nb):
     """dst ← dst · L^{-T} restricted to the first k columns."""
     f32 = dst_tiles.dtype
@@ -149,7 +199,9 @@ class FactorExecutor:
                 s, e = int(fp.potrf_ptr[lvl]), int(fp.potrf_ptr[lvl + 1])
                 if e > s:
                     blk = args["potrf_blk"][s:e]
-                    out = _potrf_batch(pool[blk], args["potrf_k"][s:e], nb)
+                    out = _potrf_batch_blocked(pool[blk],
+                                               args["potrf_k"][s:e], nb,
+                                               precision=prec)
                     pool = pool.at[blk].set(out)
                     poolf = pool.reshape(-1, nb)
                 # ---- trsm ------------------------------------------------ #

@@ -18,18 +18,39 @@ import jax
 import jax.numpy as jnp
 
 from ..plan.buckets import make_buckets, pad_tables
-from .factor import _potrf_batch, _trsm_batch
+from .factor import _potrf_batch_blocked, _trsm_batch
+from .pallas_update import build_micro_tasks, pallas_apply_updates
 
 __all__ = ["ScanFactorExecutor"]
 
 _I32MAX = np.int64(2**31 - 1)
 
 
+def _on_cpu() -> bool:
+    """True when computation will run on the CPU backend (tests force
+    jax_default_device to a CPU device; axon keeps the TPU backend
+    registered, so default_backend alone is not reliable)."""
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return getattr(dd, "platform", "") == "cpu"
+    return jax.default_backend() == "cpu"
+
+
 class ScanFactorExecutor:
-    """Compiles the bucketed level schedule for one FactorPlan."""
+    """Compiles the bucketed level schedule for one FactorPlan.
+
+    ``pallas_updates``: 'off' | 'auto' | 'on' — route the between-update
+    (updbt) tasks of suitable buckets through the fused Pallas
+    gather-GEMM-accumulate kernel (numeric/pallas_update.py) instead of
+    the XLA gather → dot_general → scatter-add chain.  Tasks whose source
+    row span exceeds ``hmax`` spill to the XLA path.  'auto' enables the
+    kernel for buckets that are wide enough for the per-task grid-step
+    cost to win and whose padding stays bounded.
+    """
 
     def __init__(self, fp, dtype=jnp.float32, matmul_precision="highest",
-                 alpha: float = 1.6):
+                 alpha: float = 1.6, pallas_updates: str = "auto",
+                 hmax: int = 512):
         self.fp = fp
         self.nb = fp.nb
         self.dtype = dtype
@@ -63,12 +84,30 @@ class ScanFactorExecutor:
         }
         self.buckets = [pad_tables(sp, fields, ptrs, pad_values)
                         for sp in spans]
+
+        # ---- pallas fused-update routing (per-bucket static choice) ---- #
+        self.pool_rows = (fp.nblocks + 1) * fp.nb
+        self.hmax = max(8, (min(hmax, self.pool_rows) // 8) * 8)
+        if np.dtype(dtype) != np.float32 or matmul_precision != "highest":
+            pallas_updates = "off"   # kernel is f32/highest only
+        self._interpret = _on_cpu()
+        if not self._interpret and fp.nb % 128 != 0:
+            # Mosaic lane tiling: the (1, nb) map-row DMA slices must be
+            # 128-aligned on real TPUs; sub-MXU tiles keep the XLA path
+            # (interpret mode on CPU accepts any nb, used by tests)
+            pallas_updates = "off"
+        self.pallas_mode = pallas_updates
+        nmaps = fp.maps.shape[0]
+        maps_ext = np.concatenate(
+            [fp.maps, np.full((1, fp.nb), -1, fp.maps.dtype)], axis=0)
+        if pallas_updates != "off":
+            self._route_updates_to_pallas(spans, nmaps)
         self._bucket_tables = [
             {k: jnp.asarray(np.minimum(v, _I32MAX), dtype=jnp.int32)
              for k, v in b.tables.items()}
             for b in self.buckets
         ]
-        self.maps = jnp.asarray(fp.maps, dtype=jnp.int32)
+        self.maps = jnp.asarray(maps_ext, dtype=jnp.int32)
         blk_n_ext = np.concatenate([fp.blk_n, [fp.nb]])
         self.blk_n = jnp.asarray(blk_n_ext, dtype=jnp.int32)
         self.srcvec = jnp.asarray(fp.srcvec, dtype=jnp.int32)
@@ -81,10 +120,57 @@ class ScanFactorExecutor:
         self._fn = jax.jit(self._build(), donate_argnums=(0,))
 
     # ------------------------------------------------------------------ #
+    def _route_updates_to_pallas(self, spans, nmaps: int) -> None:
+        """For each bucket, expand updbt tasks into destination-sorted
+        micro-tasks for the fused Pallas kernel; tasks whose source row
+        span exceeds hmax stay on the XLA path (spill).  A bucket keeps
+        the XLA path entirely when it is too narrow for the per-grid-step
+        cost to win or padding to the bucket width blows up."""
+        fp = self.fp
+        for b, (s_, e_, _w) in zip(self.buckets, spans):
+            nlev = e_ - s_ + 1
+            per_level, spills = [], []
+            for lvl in range(s_, e_ + 1):
+                mt, sp = build_micro_tasks(fp, lvl, lvl, self.nb,
+                                           self.hmax, self.pool_rows)
+                per_level.append(mt)
+                spills.append(sp)
+            kpu = max((len(mt["dst"]) for mt in per_level), default=0)
+            real = sum(len(mt["dst"]) for mt in per_level)
+            if real == 0:
+                continue
+            if self.pallas_mode == "auto" and (
+                    kpu < 64 or kpu * nlev > 1.7 * real + 16 * nlev):
+                continue
+            padv = {"dst": self.scratch, "mr": nmaps, "mc": nmaps,
+                    "lo": 0, "pmin": 0, "blkn": 0}
+            for name in ("dst", "mr", "mc", "lo", "pmin", "blkn"):
+                buf = np.full((nlev, kpu), padv[name], np.int32)
+                for li, mt in enumerate(per_level):
+                    kk = len(mt["dst"])
+                    if kk:
+                        buf[li, :kk] = mt[name]
+                b.tables[f"pu_{name}"] = buf
+            # shrink the XLA updbt tables to the spilled tasks only
+            smax = max(len(sp) for sp in spills)
+            for nm, arr, pv in (("updbt_dst", fp.updbt_dst, self.scratch),
+                                ("updbt_mr", fp.updbt_mr, 0),
+                                ("updbt_mc", fp.updbt_mc, 0),
+                                ("updbt_svp", fp.updbt_svp, 0),
+                                ("updbt_c", fp.updbt_c, 0)):
+                buf = np.full((nlev, smax), pv, np.int64)
+                for li, sp in enumerate(spills):
+                    if sp:
+                        buf[li, :len(sp)] = arr[sp]
+                b.tables[nm] = buf
+
+    # ------------------------------------------------------------------ #
     def _build(self):
         nb = self.nb
         prec = self.precision
         nblk1 = self.fp.nblocks + 1
+        hmax = self.hmax
+        interp = self._interpret
 
         def bmm_nt(a, b):
             return jax.lax.dot_general(
@@ -94,6 +180,15 @@ class ScanFactorExecutor:
         def level_body(carry, tb, cmax):
             pool, maps, blk_n, srcvec = carry
             iota = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+            # ---- updbt (pallas fused gather-GEMM-accumulate) ----
+            if "pu_dst" in tb:
+                pt = {"dst": tb["pu_dst"], "mr": tb["pu_mr"],
+                      "mc": tb["pu_mc"], "lo": tb["pu_lo"],
+                      "pmin": tb["pu_pmin"], "blkn": tb["pu_blkn"]}
+                poolf = pallas_apply_updates(
+                    pool.reshape(-1, nb), maps, pt, nb=nb, hmax=hmax,
+                    interpret=interp)
+                pool = poolf.reshape(pool.shape)
             # ---- updbt (width-fused) ----
             if "updbt_dst" in tb and tb["updbt_dst"].shape[0] > 0 \
                     and cmax > 0:
@@ -127,7 +222,8 @@ class ScanFactorExecutor:
             # ---- potrf ----
             if "potrf_blk" in tb and tb["potrf_blk"].shape[0] > 0:
                 blk = tb["potrf_blk"]
-                out = _potrf_batch(pool[blk], tb["potrf_k"], nb)
+                out = _potrf_batch_blocked(pool[blk], tb["potrf_k"], nb,
+                                           precision=prec)
                 pool = pool.at[blk].set(out)
             # ---- trsm ----
             if "trsm_diag" in tb and tb["trsm_diag"].shape[0] > 0:

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..errors import NotPositiveDefiniteError
-from .factor import _potrf_batch
+from .factor import _potrf_batch_blocked
 
 __all__ = ["subtree_np", "DenseSubtreeExecutor"]
 
@@ -90,7 +90,7 @@ class DenseSubtreeExecutor:
                 f = jnp.zeros((ns, sp, sp), dtype=pool.dtype)
                 f = f.at[t["asm_sub"], t["asm_r"], t["asm_c"]].add(
                     values[t["asm_vidx"]])
-                f = _potrf_batch(f, t["kvec"], sp)
+                f = _potrf_batch_blocked(f, t["kvec"], sp)
                 rp = jnp.where(t["sc_rval"], t["sc_rpos"], 0)
                 cp = jnp.where(t["sc_cval"], t["sc_cpos"], 0)
                 vals = f[t["sc_sub"][:, None, None],

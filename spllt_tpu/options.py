@@ -36,6 +36,8 @@ class Options:
     #   6 bf16 passes) | 'high' (3 passes) | 'default' (1 bf16 pass;
     #   pair with refine>=2 — mixed-precision factorization + refinement)
     dtype: str = "float32"   # pool dtype: 'float32' | 'float64'
+    pallas_updates: str = "auto"  # fused pallas update kernel: auto|on|off
+    pallas_hmax: int = 512   # source-panel VMEM rows for the fused kernel
     refine: int = 2          # iterative-refinement steps in solve (f64 resid)
     ndevices: int = 1        # target device count (ref ncpu/nworker)
     min_width_blas: int = 8  # kept for parity (ref min_width_blas)
@@ -59,6 +61,12 @@ class Options:
             raise ValueError(f"unknown precision {self.precision!r}")
         if self.dtype not in ("float32", "float64"):
             raise ValueError(f"unknown dtype {self.dtype!r}")
+        if self.pallas_updates not in ("auto", "on", "off"):
+            raise ValueError(
+                f"unknown pallas_updates {self.pallas_updates!r}")
+        if self.pallas_hmax < 8:
+            raise ValueError(f"pallas_hmax must be >= 8, "
+                             f"got {self.pallas_hmax}")
         if self.ndevices < 1:
             raise ValueError(f"ndevices must be >= 1, got {self.ndevices}")
 

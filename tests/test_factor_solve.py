@@ -117,3 +117,25 @@ def test_not_positive_definite_raises():
     symb = analyse(mat, options)
     with pytest.raises(NotPositiveDefiniteError):
         factor(symb)
+
+
+def test_potrf_blocked_matches_plain():
+    """Blocked right-looking batched potrf == single-call version for
+    wide tiles with mixed kvec (incl. boundary rows and empty panels)."""
+    import jax.numpy as jnp
+    from spllt_tpu.numeric.factor import _potrf_batch, _potrf_batch_blocked
+
+    rng = np.random.default_rng(3)
+    sp, bsz = 96, 5
+    a = rng.standard_normal((bsz, sp, sp))
+    spd = a @ a.transpose(0, 2, 1) + sp * np.eye(sp)
+    kvec = np.asarray([96, 60, 33, 1, 17], np.int32)
+    # zero padded region like the assembly does
+    for i, k in enumerate(kvec):
+        spd[i, :, k:] = 0.0
+        spd[i, k:, k:] = 0.0
+    t = jnp.asarray(spd, jnp.float32)
+    ref = np.asarray(_potrf_batch(t, jnp.asarray(kvec), sp))
+    got = np.asarray(_potrf_batch_blocked(t, jnp.asarray(kvec), sp,
+                                          panel=32))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)

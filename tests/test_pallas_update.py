@@ -59,3 +59,35 @@ def test_pallas_update_matches_reference():
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
     # untouched tiles pass through unchanged
     np.testing.assert_array_equal(got[:4 * nb], poolf[:4 * nb])
+
+
+@pytest.mark.parametrize("hmax", [64, 16])
+def test_scan_executor_pallas_route(hmax):
+    """Full factorization with updbt routed through the fused pallas
+    kernel (interpret mode on CPU) must match the f64 oracle; small hmax
+    exercises the spill-to-XLA path."""
+    from spllt_tpu import Options, analyse, factor, make_rhs, poisson3d, \
+        solve
+
+    mat = poisson3d(7)
+    base = dict(ordering="nd-grid", grid_shape=(7, 7, 7), nb=8, nemin=8,
+                refine=0, prune_tree=False)
+    s0 = analyse(mat, Options(mode="stf", **base))
+    n0 = factor(s0)
+    sp = analyse(mat, Options(mode="batched", schedule="scan",
+                              dtype="float32", pallas_updates="on",
+                              pallas_hmax=hmax, **base))
+    np_ = factor(sp)
+    # the pallas route must actually be taken
+    from spllt_tpu.numeric.factor_scan import ScanFactorExecutor
+    import jax.numpy as jnp
+    ex = ScanFactorExecutor(np_.fplan, dtype=jnp.float32,
+                            pallas_updates="on", hmax=hmax)
+    assert any("pu_dst" in b.tables for b in ex.buckets)
+    pool_f32 = np.asarray(np_.pool)[:-1]
+    np.testing.assert_allclose(pool_f32, np.asarray(n0.pool)[:len(pool_f32)],
+                               rtol=2e-4, atol=2e-4)
+    xt, b = make_rhs(mat, nrhs=2)
+    x = solve(np_, b, refine=2)
+    r = mat.matvec(x) - b
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-12
