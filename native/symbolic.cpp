@@ -198,4 +198,155 @@ int spllt_amd(int64_t n, const int64_t *colptr, const int64_t *rowind,
     return 0;
 }
 
+
+// --------------------------------------------------------------------- //
+// Supernode detection + nemin amalgamation + L row lists.  Exact port of
+// spllt_tpu.analyse.supernodes.find_supernodes (which replaces the SPRAL
+// SSIDS sptr/sparent/rptr/rlist outputs the reference consumes,
+// /root/reference/src/spllt_analyse_mod.F90:129-131); results must match
+// the NumPy fallback bit-for-bit.
+//
+// Two-call protocol: with null output pointers only sizes[2] =
+// {nnodes, len(rows)} is written; a second call fills sa/en/sparent/
+// rptr/rows (caller-allocated).
+int spllt_supernodes(int64_t n, const int64_t *colptr,
+                     const int64_t *rowind, const int64_t *parent,
+                     int64_t nemin, int64_t *sizes,
+                     int64_t *sa_out, int64_t *en_out, int64_t *par_out,
+                     int64_t *rptr_out, int64_t *rows_out) {
+    // ---- phase 1: zero-fill supernodes + row lists -------------------- //
+    std::vector<int64_t> f_sa, f_en;
+    std::vector<std::vector<int64_t>> f_rows;
+    // pending children snodes per column: head/next linked lists
+    std::vector<int64_t> pend_head(n, -1), pend_next;
+    std::vector<int64_t> scratch;
+    for (int64_t j = 0; j < n; ++j) {
+        const int64_t a0 = colptr[j], a1 = colptr[j + 1];
+        bool prev_child = !f_en.empty() && f_en.back() == j - 1 &&
+                          parent[j - 1] == j;
+        scratch.assign(rowind + a0, rowind + a1);
+        const std::vector<int64_t> *below_prev = nullptr;
+        int64_t below_prev_off = 0;
+        if (prev_child) {
+            const size_t s_prev = f_en.size() - 1;
+            below_prev = &f_rows[s_prev];
+            below_prev_off = f_en[s_prev] - f_sa[s_prev] + 1;
+            scratch.insert(scratch.end(),
+                           below_prev->begin() + below_prev_off,
+                           below_prev->end());
+        }
+        bool had_pending = false;
+        for (int64_t s = pend_head[j]; s != -1; s = pend_next[s]) {
+            had_pending = true;
+            int64_t nc = f_en[s] - f_sa[s] + 1;
+            scratch.insert(scratch.end(), f_rows[s].begin() + nc,
+                           f_rows[s].end());
+        }
+        if (prev_child || had_pending) {
+            std::sort(scratch.begin(), scratch.end());
+            scratch.erase(std::unique(scratch.begin(), scratch.end()),
+                          scratch.end());
+        }
+        bool merged = false;
+        if (prev_child &&
+            (int64_t)below_prev->size() - below_prev_off ==
+                (int64_t)scratch.size() &&
+            std::equal(scratch.begin(), scratch.end(),
+                       below_prev->begin() + below_prev_off)) {
+            // exact zero-fill merge -> extend the open supernode
+            size_t s = f_en.size() - 1;
+            int64_t nc_old = f_en[s] - f_sa[s] + 1;
+            std::vector<int64_t> nr(f_rows[s].begin(),
+                                    f_rows[s].begin() + nc_old);
+            nr.insert(nr.end(), scratch.begin(), scratch.end());
+            f_rows[s].swap(nr);
+            f_en[s] = j;
+            merged = true;
+        }
+        if (!merged) {
+            f_sa.push_back(j);
+            f_en.push_back(j);
+            f_rows.emplace_back(scratch);
+        }
+        pend_next.resize(f_en.size(), -1);
+        int64_t s = (int64_t)f_en.size() - 1;
+        int64_t p = parent[j];
+        if (p != -1 && p != j + 1) {
+            pend_next[s] = pend_head[p];
+            pend_head[p] = s;
+        }
+    }
+    const int64_t nf = (int64_t)f_sa.size();
+
+    std::vector<int64_t> col_node(n);
+    for (int64_t s = 0; s < nf; ++s)
+        for (int64_t c = f_sa[s]; c <= f_en[s]; ++c) col_node[c] = s;
+    std::vector<int64_t> f_parent(nf, -1);
+    for (int64_t s = 0; s < nf; ++s) {
+        int64_t p = parent[f_en[s]];
+        f_parent[s] = (p != -1) ? col_node[p] : -1;
+    }
+
+    // ---- phase 2: nemin amalgamation (union-find, ascending children) - //
+    std::vector<char> alive(nf, 1);
+    std::vector<int64_t> sa_m(f_sa), en_m(f_en), rep(nf);
+    for (int64_t i = 0; i < nf; ++i) rep[i] = i;
+    auto find_rep = [&](int64_t s) {
+        while (rep[s] != s) { rep[s] = rep[rep[s]]; s = rep[s]; }
+        return s;
+    };
+    if (nemin > 1) {
+        for (int64_t c = 0; c < nf; ++c) {
+            int64_t p = f_parent[c];
+            if (p == -1) continue;
+            p = find_rep(p);
+            int64_t c_r = find_rep(c);
+            if (c_r == p) continue;
+            int64_t nc_c = en_m[c_r] - sa_m[c_r] + 1;
+            int64_t nc_p = en_m[p] - sa_m[p] + 1;
+            if (en_m[c_r] + 1 != sa_m[p]) continue;
+            if (nc_c >= nemin && nc_p >= nemin) continue;
+            std::vector<int64_t> nr(f_rows[c_r].begin(),
+                                    f_rows[c_r].begin() + nc_c);
+            nr.insert(nr.end(), f_rows[p].begin(), f_rows[p].end());
+            f_rows[p].swap(nr);
+            sa_m[p] = sa_m[c_r];
+            alive[c_r] = 0;
+            rep[c_r] = p;
+        }
+    }
+
+    // ---- renumber (stable by sa) -------------------------------------- //
+    std::vector<int64_t> keep;
+    for (int64_t s = 0; s < nf; ++s) if (alive[s]) keep.push_back(s);
+    std::stable_sort(keep.begin(), keep.end(),
+                     [&](int64_t a, int64_t b) { return sa_m[a] < sa_m[b]; });
+    const int64_t nnodes = (int64_t)keep.size();
+    int64_t nrows_total = 0;
+    for (int64_t k = 0; k < nnodes; ++k)
+        nrows_total += (int64_t)f_rows[keep[k]].size();
+    sizes[0] = nnodes;
+    sizes[1] = nrows_total;
+    if (!sa_out) return 0;   // size-query call
+
+    std::vector<int64_t> col_node2(n);
+    for (int64_t k = 0; k < nnodes; ++k)
+        for (int64_t c = sa_m[keep[k]]; c <= en_m[keep[k]]; ++c)
+            col_node2[c] = k;
+    int64_t off = 0;
+    rptr_out[0] = 0;
+    for (int64_t k = 0; k < nnodes; ++k) {
+        int64_t s = keep[k];
+        sa_out[k] = sa_m[s];
+        en_out[k] = en_m[s];
+        int64_t p = parent[en_m[s]];
+        par_out[k] = (p != -1) ? col_node2[p] : -1;
+        std::memcpy(rows_out + off, f_rows[s].data(),
+                    f_rows[s].size() * sizeof(int64_t));
+        off += (int64_t)f_rows[s].size();
+        rptr_out[k + 1] = off;
+    }
+    return 0;
+}
+
 }  // extern "C"

@@ -52,16 +52,13 @@ def _node_stats(forest: SupernodeForest) -> tuple[np.ndarray, int, int]:
     m×n nodal matrix (/root/reference/src/spllt_analyse_mod.F90:990-1029);
     num_factor = Σ_j (m-j+1) per node.
     """
-    nnodes = forest.nnodes
-    flops = np.zeros(nnodes, dtype=np.int64)
-    nfact = 0
-    for nd in range(nnodes):
-        m = int(forest.rptr[nd + 1] - forest.rptr[nd])
-        w = forest.ncols(nd)
-        j = np.arange(w, dtype=np.int64)
-        flops[nd] = int(np.sum((m - j) ** 2))
-        nfact += int(np.sum(m - j))
-    return flops, nfact, int(flops.sum())
+    m = np.diff(forest.rptr)                       # rows per node
+    w = forest.en - forest.sa + 1                  # cols per node
+    # Σ_{j=0..w-1} (m-j)² = Σ_{t=m-w+1..m} t²  via  S(x)=x(x+1)(2x+1)/6
+    s2 = lambda x: x * (x + 1) * (2 * x + 1) // 6
+    flops = s2(m) - s2(m - w)
+    nfact = m * w - w * (w - 1) // 2               # Σ_{j=0..w-1} (m-j)
+    return flops, int(nfact.sum()), int(flops.sum())
 
 
 def _subtree_weights(forest: SupernodeForest,

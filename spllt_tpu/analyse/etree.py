@@ -24,6 +24,11 @@ def etree(n: int, colptr: np.ndarray, rowind: np.ndarray) -> np.ndarray:
 
     Returns parent[n] with -1 for roots.
     """
+    from .native import native_etree_or_none
+
+    nat = native_etree_or_none(n, colptr, rowind)
+    if nat is not None:
+        return nat
     parent = np.full(n, -1, dtype=np.int64)
     ancestor = np.full(n, -1, dtype=np.int64)
     cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(colptr))
@@ -50,6 +55,11 @@ def postorder(parent: np.ndarray) -> np.ndarray:
     ``post`` with post[k] = k-th node in postorder.
     """
     n = len(parent)
+    from .native import native_postorder_or_none
+
+    nat = native_postorder_or_none(parent)
+    if nat is not None:
+        return nat
     # children linked lists, built so iteration yields ascending child order
     head = np.full(n, -1, dtype=np.int64)
     nxt = np.full(n, -1, dtype=np.int64)

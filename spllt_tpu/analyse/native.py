@@ -79,3 +79,59 @@ def native_etree_or_none(n, colptr, rowind) -> np.ndarray | None:
     if rc != 0:
         return None
     return parent
+
+
+def native_postorder_or_none(parent) -> np.ndarray | None:
+    """Postorder via the native library, or None if unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "spllt_postorder"):
+        return None
+    n = len(parent)
+    parent = np.ascontiguousarray(parent, dtype=np.int64)
+    post = np.empty(n, dtype=np.int64)
+    lib.spllt_postorder.restype = ctypes.c_int
+    rc = lib.spllt_postorder(
+        ctypes.c_int64(n),
+        parent.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        post.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        return None
+    return post
+
+
+def native_supernodes_or_none(n, colptr, rowind, parent, nemin):
+    """Supernode detection + nemin amalgamation + row lists via the
+    native library.  Returns (sa, en, sparent, rptr, rows) or None.
+
+    Two-call protocol: the first call computes sizes (nnodes, len(rows));
+    the second fills the caller-allocated arrays.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "spllt_supernodes"):
+        return None
+    colptr = np.ascontiguousarray(colptr, dtype=np.int64)
+    rowind = np.ascontiguousarray(rowind, dtype=np.int64)
+    parent = np.ascontiguousarray(parent, dtype=np.int64)
+    p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    sizes = np.zeros(2, dtype=np.int64)
+    lib.spllt_supernodes.restype = ctypes.c_int
+    rc = lib.spllt_supernodes(
+        ctypes.c_int64(n), p(colptr), p(rowind), p(parent),
+        ctypes.c_int64(nemin), p(sizes),
+        None, None, None, None, None)
+    if rc != 0:
+        return None
+    nnodes, nrows = int(sizes[0]), int(sizes[1])
+    sa = np.empty(nnodes, dtype=np.int64)
+    en = np.empty(nnodes, dtype=np.int64)
+    sparent = np.empty(nnodes, dtype=np.int64)
+    rptr = np.empty(nnodes + 1, dtype=np.int64)
+    rows = np.empty(nrows, dtype=np.int64)
+    rc = lib.spllt_supernodes(
+        ctypes.c_int64(n), p(colptr), p(rowind), p(parent),
+        ctypes.c_int64(nemin), p(sizes),
+        p(sa), p(en), p(sparent), p(rptr), p(rows))
+    if rc != 0:
+        return None
+    return sa, en, sparent, rptr, rows

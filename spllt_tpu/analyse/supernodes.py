@@ -58,6 +58,13 @@ def find_supernodes(
     nemin: int = 32,
 ) -> SupernodeForest:
     """Compute amalgamated supernodes + row lists of a postordered matrix."""
+    from .native import native_supernodes_or_none
+
+    nat = native_supernodes_or_none(n, colptr, rowind, parent, nemin)
+    if nat is not None:
+        sa, en, sparent, rptr, rows = nat
+        return SupernodeForest(nnodes=len(sa), sa=sa, en=en,
+                               sparent=sparent, rptr=rptr, rows=rows)
     # ---------------- phase 1: zero-fill supernodes + row lists ----------- #
     # Iterate columns ascending (== postorder).  For column j:
     #   struct(L col j) = A rows of col j ∪ ⋃_{c: parent(c)=j} struct(L col c)\{c}

@@ -117,14 +117,26 @@ class CscMatrix:
             raise CscError("rowind length mismatch")
         if self.values is not None and len(self.values) != colptr[-1]:
             raise CscError("values length mismatch")
-        for j in range(n):
-            s, e = colptr[j], colptr[j + 1]
-            rj = rowind[s:e]
-            if s == e or rj[0] != j:
-                raise CscError(f"missing diagonal in column {j}")
-            if np.any(rj < j) or np.any(rj >= n):
-                raise CscError(f"row index out of range in column {j}")
-            if np.any(np.diff(rj) <= 0):
+        # vectorized per-entry checks (the per-column Python loop dominated
+        # analyse time on ~100k-row matrices)
+        counts = np.diff(colptr)
+        empty = counts == 0
+        diag_ok = np.zeros(n, dtype=bool)
+        diag_ok[~empty] = (rowind[colptr[:-1][~empty]]
+                           == np.nonzero(~empty)[0])
+        if not diag_ok.all():
+            j = int(np.nonzero(~diag_ok)[0][0])
+            raise CscError(f"missing diagonal in column {j}")
+        cols = np.repeat(np.arange(n, dtype=np.int64), counts)
+        bad = (rowind < cols) | (rowind >= n)
+        if bad.any():
+            j = int(cols[np.nonzero(bad)[0][0]])
+            raise CscError(f"row index out of range in column {j}")
+        if len(rowind) > 1:
+            nondec = np.diff(rowind) <= 0
+            nondec[colptr[1:-1] - 1] = False   # column boundaries
+            if nondec.any():
+                j = int(cols[np.nonzero(nondec)[0][0]])
                 raise CscError(f"unsorted/duplicate rows in column {j}")
 
     # ------------------------------------------------------------------ #
