@@ -128,17 +128,21 @@ def build_block_plan(symb, nb: int) -> BlockPlan:
     lc = c - node_sa[nd_of]
     jb = lc // nb
     cc = lc % nb
-    # position of r within the owner node's row list
+    # position of r within the owner node's row list; nd_of is
+    # non-decreasing (columns sorted, nodes ordered by sa) so entries of a
+    # node form one contiguous slice — no per-node masking
     p = np.empty(len(r), dtype=np.int64)
+    bounds = np.searchsorted(nd_of, np.arange(nnodes + 1, dtype=np.int64))
     for nd in range(nnodes):
-        sel = np.nonzero(nd_of == nd)[0]
-        if len(sel) == 0:
+        s_, e_ = bounds[nd], bounds[nd + 1]
+        if e_ == s_:
             continue
         nrows = rows[node_rptr[nd]:node_rptr[nd + 1]]
-        pos = np.searchsorted(nrows, r[sel])
+        pos = np.searchsorted(nrows, r[s_:e_])
         if __debug__:
-            assert np.all(nrows[pos] == r[sel]), "row missing from structure"
-        p[sel] = pos
+            assert np.all(nrows[pos] == r[s_:e_]), \
+                "row missing from structure"
+        p[s_:e_] = pos
     ib = p // nb
     rr = p % nb
     blk = blk_id(plan, nd_of, ib, jb)

@@ -202,12 +202,23 @@ def build_factor_plan(symb, plan: BlockPlan, coarse=None) -> FactorPlan:
                 touched = np.unique(tiles_a)
                 map_ids = {}
                 tile_ps: dict[int, np.ndarray] = {}
-                for tb in touched:
-                    sel = tiles_a == tb
+                fmax: dict[int, int] = {}
+                # tiles_a is non-decreasing (sorted positions) — slice by
+                # boundaries instead of boolean masks
+                tb_bounds = np.searchsorted(
+                    tiles_a, np.append(touched, touched[-1] + 1))
+                for i_t in range(len(touched)):
+                    tb = int(touched[i_t])
+                    s0, s1 = tb_bounds[i_t], tb_bounds[i_t + 1]
                     vec = np.full(nb, -1, dtype=np.int32)
-                    vec[slots_a[sel]] = p_src[sel]
-                    map_ids[int(tb)] = register_map(vec)
-                    tile_ps[int(tb)] = p_src[sel]
+                    vec[slots_a[s0:s1]] = p_src[s0:s1]
+                    map_ids[tb] = register_map(vec)
+                    tile_ps[tb] = p_src[s0:s1]
+                    # deepest source level feeding this dest tile: the
+                    # used source tiles' last-column trsms
+                    st = np.unique(p_src[s0:s1] // nb)
+                    fmax[tb] = int(fact_level[
+                        bid(st, np.minimum(st, C - 1))].max())
                 # column-role tiles: positions that are columns of anc
                 ncols_part = hi - lo
                 col_tiles = np.unique(tiles_a[:ncols_part])
@@ -217,16 +228,10 @@ def build_factor_plan(symb, plan: BlockPlan, coarse=None) -> FactorPlan:
                     for ibt in touched:
                         if ibt < jbt:
                             continue
-                        ps_i = tile_ps[int(ibt)]
                         # sources: blocks (tile, kb) for kb <= tile; the
-                        # last block column is factored last, so the level
-                        # is set by the used tiles' last-column trsms
-                        lvl = 1 + max(
-                            int(fact_level[bid(int(st), min(int(st), C - 1))
-                                           ])
-                            for st in np.unique(
-                                np.concatenate([ps_i,
-                                                tile_ps[int(jbt)]]) // nb))
+                        # max over the union of the two tiles' source
+                        # levels equals max of the per-tile maxima
+                        lvl = 1 + max(fmax[int(ibt)], fmax[int(jbt)])
                         dst = a0 + jbt * aT - (jbt * (jbt - 1)) // 2 \
                             + (ibt - jbt)
                         updbt.append((lvl, dst, map_ids[int(ibt)],
