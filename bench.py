@@ -26,7 +26,7 @@ NEMIN = int(os.environ.get("BENCH_NEMIN", "64"))
 PRECISION = os.environ.get("BENCH_PRECISION", "highest")
 COARSE = os.environ.get("BENCH_COARSE", "0") not in ("0", "", "false")
 PALLAS = os.environ.get("BENCH_PALLAS", "auto")   # auto | on | off
-HMAX = int(os.environ.get("BENCH_HMAX", "512"))
+HMAX = int(os.environ.get("BENCH_HMAX", "2048"))
 # (coarse default off for the driver: its batched 256-cholesky compiles
 #  >40 min server-side; enable with BENCH_COARSE=1 once warmed)
 # our own recorded baseline (GFLOP/s) to report progress against; the

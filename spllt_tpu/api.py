@@ -212,10 +212,13 @@ def _solve_once(num: NumericFactor, bb: np.ndarray, job: int) -> np.ndarray:
                                    matmul_precision=num.options.precision)
             num._solve_execs[key] = ex
         xd = xp
-        if job in (0, 1):
-            xd = ex.fwd(num.pool, xd)
-        if job in (0, 2):
-            xd = ex.bwd(num.pool, xd)
+        if job == 0 and hasattr(ex, "full"):
+            xd = ex.full(num.pool, xd)
+        else:
+            if job in (0, 1):
+                xd = ex.fwd(num.pool, xd)
+            if job in (0, 2):
+                xd = ex.bwd(num.pool, xd)
         out_p = np.asarray(xd)[:n].astype(np.float64)
 
     out = np.empty((n, nrhs), dtype=np.float64)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ..plan.buckets import make_buckets, pad_tables
 from .factor import _potrf_batch_blocked, _trsm_batch
+from .pallas_potrf import pallas_potrf_batch
 from .pallas_update import build_micro_tasks, pallas_apply_updates
 
 __all__ = ["ScanFactorExecutor"]
@@ -50,7 +51,8 @@ class ScanFactorExecutor:
 
     def __init__(self, fp, dtype=jnp.float32, matmul_precision="highest",
                  alpha: float = 1.6, pallas_updates: str = "auto",
-                 hmax: int = 512):
+                 hmax: int = 2048, _skip: frozenset = frozenset()):
+        self._skip = _skip      # phase names to drop (timing diagnostics)
         self.fp = fp
         self.nb = fp.nb
         self.dtype = dtype
@@ -102,6 +104,25 @@ class ScanFactorExecutor:
             [fp.maps, np.full((1, fp.nb), -1, fp.maps.dtype)], axis=0)
         if pallas_updates != "off":
             self._route_updates_to_pallas(spans, nmaps)
+        # pallas batched potrf (XLA cholesky's serialized lowering costs
+        # ~1.6 ms per call site; the pallas panel kernel ~0.4 ms)
+        self._pallas_potrf = pallas_updates != "off"
+        self._potrf_group = max(1, 1024 // fp.nb)
+        if self._pallas_potrf:
+            g = self._potrf_group
+            for b in self.buckets:
+                tbl = b.tables.get("potrf_blk")
+                if tbl is None or tbl.shape[1] == 0:
+                    continue
+                k = tbl.shape[1]
+                kp = -(-k // g) * g
+                if kp != k:
+                    nlev = tbl.shape[0]
+                    for nm, pv in (("potrf_blk", self.scratch),
+                                   ("potrf_k", 0)):
+                        ext = np.full((nlev, kp - k), pv, np.int64)
+                        b.tables[nm] = np.concatenate(
+                            [b.tables[nm], ext], axis=1)
         self._bucket_tables = [
             {k: jnp.asarray(np.minimum(v, _I32MAX), dtype=jnp.int32)
              for k, v in b.tables.items()}
@@ -127,8 +148,12 @@ class ScanFactorExecutor:
         the XLA path entirely when it is too narrow for the per-grid-step
         cost to win or padding to the bucket width blows up."""
         fp = self.fp
-        for b, (s_, e_, _w) in zip(self.buckets, spans):
+        self._bucket_hmax = {}
+        for bi, (b, (s_, e_, _w)) in enumerate(zip(self.buckets, spans)):
             nlev = e_ - s_ + 1
+            # pass 1 at the hmax cap: spans decide the bucket's panel size
+            # (root-level tasks span widely, leaf levels narrowly — a
+            # per-bucket hmax keeps per-task DMA volume proportionate)
             per_level, spills = [], []
             for lvl in range(s_, e_ + 1):
                 mt, sp = build_micro_tasks(fp, lvl, lvl, self.nb,
@@ -140,8 +165,17 @@ class ScanFactorExecutor:
             if real == 0:
                 continue
             if self.pallas_mode == "auto" and (
-                    kpu < 64 or kpu * nlev > 1.7 * real + 16 * nlev):
+                    kpu * nlev > 1.7 * real + 16 * nlev):
                 continue
+            span_max = max(int(mt["span"].max()) for mt in per_level
+                           if len(mt["dst"]))
+            hmax_b = min(self.hmax,
+                         max(8, min(self.pool_rows, -(-span_max // 8) * 8)))
+            if hmax_b < self.hmax:
+                per_level = [build_micro_tasks(fp, lvl, lvl, self.nb,
+                                               hmax_b, self.pool_rows)[0]
+                             for lvl in range(s_, e_ + 1)]
+            self._bucket_hmax[bi] = hmax_b
             padv = {"dst": self.scratch, "mr": nmaps, "mc": nmaps,
                     "lo": 0, "pmin": 0, "blkn": 0}
             for name in ("dst", "mr", "mc", "lo", "pmin", "blkn"):
@@ -177,21 +211,21 @@ class ScanFactorExecutor:
                 a, b, (((2,), (2,)), ((0,), (0,))),
                 precision=prec, preferred_element_type=a.dtype)
 
-        def level_body(carry, tb, cmax):
+        def level_body(carry, tb, cmax, hmax_b):
             pool, maps, blk_n, srcvec = carry
             iota = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
             # ---- updbt (pallas fused gather-GEMM-accumulate) ----
-            if "pu_dst" in tb:
+            if "pu_dst" in tb and "pallas" not in self._skip:
                 pt = {"dst": tb["pu_dst"], "mr": tb["pu_mr"],
                       "mc": tb["pu_mc"], "lo": tb["pu_lo"],
                       "pmin": tb["pu_pmin"], "blkn": tb["pu_blkn"]}
                 poolf = pallas_apply_updates(
-                    pool.reshape(-1, nb), maps, pt, nb=nb, hmax=hmax,
+                    pool.reshape(-1, nb), maps, pt, nb=nb, hmax=hmax_b,
                     interpret=interp)
                 pool = poolf.reshape(pool.shape)
             # ---- updbt (width-fused) ----
             if "updbt_dst" in tb and tb["updbt_dst"].shape[0] > 0 \
-                    and cmax > 0:
+                    and cmax > 0 and "updbt" not in self._skip:
                 dst = tb["updbt_dst"]
                 pr = maps[tb["updbt_mr"]]
                 pc = maps[tb["updbt_mc"]]
@@ -216,17 +250,25 @@ class ScanFactorExecutor:
                 pool = pool.at[dst].add(
                     -bmm_nt(gathw(pr, vr), gathw(pc, vc)))
             # ---- syrk ----
-            if "syrk_i" in tb and tb["syrk_i"].shape[0] > 0:
+            if "syrk_i" in tb and tb["syrk_i"].shape[0] > 0 \
+                    and "syrk" not in self._skip:
                 u = bmm_nt(pool[tb["syrk_i"]], pool[tb["syrk_j"]])
                 pool = pool.at[tb["syrk_dst"]].add(-u)
             # ---- potrf ----
-            if "potrf_blk" in tb and tb["potrf_blk"].shape[0] > 0:
+            if "potrf_blk" in tb and tb["potrf_blk"].shape[0] > 0 \
+                    and "potrf" not in self._skip:
                 blk = tb["potrf_blk"]
-                out = _potrf_batch_blocked(pool[blk], tb["potrf_k"], nb,
-                                           precision=prec)
+                if self._pallas_potrf:
+                    out = pallas_potrf_batch(pool[blk], tb["potrf_k"], nb,
+                                             group=self._potrf_group,
+                                             interpret=interp)
+                else:
+                    out = _potrf_batch_blocked(pool[blk], tb["potrf_k"],
+                                               nb, precision=prec)
                 pool = pool.at[blk].set(out)
             # ---- trsm ----
-            if "trsm_diag" in tb and tb["trsm_diag"].shape[0] > 0:
+            if "trsm_diag" in tb and tb["trsm_diag"].shape[0] > 0 \
+                    and "trsm" not in self._skip:
                 out = _trsm_batch(pool[tb["trsm_diag"]],
                                   pool[tb["trsm_dst"]], tb["trsm_k"], nb)
                 pool = pool.at[tb["trsm_dst"]].set(out)
@@ -240,8 +282,11 @@ class ScanFactorExecutor:
                 if not tb:
                     continue  # bucket fully absorbed (e.g. by coarse phase)
                 cmax = self._bucket_cmax[bi]
+                hb = getattr(self, "_bucket_hmax", {}).get(bi, hmax)
                 carry, _ = jax.lax.scan(
-                    lambda c, t, _cm=cmax: level_body(c, t, _cm), carry, tb)
+                    lambda c, t, _cm=cmax, _hb=hb: level_body(c, t, _cm,
+                                                              _hb),
+                    carry, tb)
             pool = carry[0]
             # in-graph positive-definiteness flag (NaNs appear on failure);
             # an eager post-hoc check on the big pool is host-round-trip

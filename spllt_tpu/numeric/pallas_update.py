@@ -44,7 +44,7 @@ def build_micro_tasks(fp, lvl_lo: int, lvl_hi: int, nb: int, hmax: int,
     whose span exceeds hmax are returned separately in ``spill`` (to be
     executed by the XLA path).
     """
-    dst, mr, mc, lo, pm, bn = [], [], [], [], [], []
+    dst, mr, mc, lo, pm, bn, spn = [], [], [], [], [], [], []
     spill = []
     for t in range(int(fp.updbt_ptr[lvl_lo]),
                    int(fp.updbt_ptr[lvl_hi + 1])):
@@ -67,6 +67,7 @@ def build_micro_tasks(fp, lvl_lo: int, lvl_hi: int, nb: int, hmax: int,
             lo.append(l2)
             pm.append(pmin - (l0 - l2))
             bn.append(int(fp.blk_n[fp.updbt_dst[t]]))
+            spn.append(pmax - pmin + 1)
     order = np.argsort(np.asarray(dst), kind="stable") if dst else \
         np.empty(0, np.int64)
     out = {
@@ -76,6 +77,7 @@ def build_micro_tasks(fp, lvl_lo: int, lvl_hi: int, nb: int, hmax: int,
         "lo": np.asarray(lo, np.int32)[order],
         "pmin": np.asarray(pm, np.int32)[order],
         "blkn": np.asarray(bn, np.int32)[order],
+        "span": np.asarray(spn, np.int32)[order],
     }
     return out, spill
 

@@ -73,6 +73,13 @@ class ScanSolveExecutor:
         self._bwd_tables = to_dev(self._bwd_buckets)
         self._fwd_fn = jax.jit(self._build(True), donate_argnums=(1,))
         self._bwd_fn = jax.jit(self._build(False), donate_argnums=(1,))
+        # fused fwd+bwd (job=0): one device program / relay round trip
+        fwd_run, bwd_run = self._build(True), self._build(False)
+
+        def full_run(pool_ext, x, ftabs, btabs):
+            return bwd_run(pool_ext, fwd_run(pool_ext, x, ftabs), btabs)
+
+        self._full_fn = jax.jit(full_run, donate_argnums=(1,))
 
     # ------------------------------------------------------------------ #
     def _build(self, forward: bool):
@@ -167,3 +174,9 @@ class ScanSolveExecutor:
     def bwd(self, pool, x):
         return self._bwd_fn(jnp.asarray(pool, self.dtype),
                             jnp.asarray(x, self.dtype), self._bwd_tables)
+
+    def full(self, pool, x):
+        """Fused L y = x; Lᵀ z = y (job=0) in one compiled program."""
+        return self._full_fn(jnp.asarray(pool, self.dtype),
+                             jnp.asarray(x, self.dtype),
+                             self._fwd_tables, self._bwd_tables)

@@ -37,7 +37,7 @@ class Options:
     #   pair with refine>=2 — mixed-precision factorization + refinement)
     dtype: str = "float32"   # pool dtype: 'float32' | 'float64'
     pallas_updates: str = "auto"  # fused pallas update kernel: auto|on|off
-    pallas_hmax: int = 512   # source-panel VMEM rows for the fused kernel
+    pallas_hmax: int = 2048   # source-panel VMEM rows for the fused kernel
     refine: int = 2          # iterative-refinement steps in solve (f64 resid)
     ndevices: int = 1        # target device count (ref ncpu/nworker)
     min_width_blas: int = 8  # kept for parity (ref min_width_blas)
