@@ -20,13 +20,14 @@ from .errors import NotPositiveDefiniteError, SpLLTError
 from .inform import Inform
 from .options import Options
 from .sparse.csc import CscMatrix
-from .sparse.generators import make_rhs, poisson2d, poisson3d, random_spd
+from .sparse.generators import (fem3d, make_rhs, poisson2d,
+                                poisson3d, random_spd)
 
 __version__ = "0.1.0"
 
 __all__ = [
     "analyse", "factor", "solve", "Options", "Inform",
     "SymbolicFactor", "NumericFactor", "CscMatrix",
-    "poisson2d", "poisson3d", "random_spd", "make_rhs",
+    "poisson2d", "poisson3d", "random_spd", "fem3d", "make_rhs",
     "SpLLTError", "NotPositiveDefiniteError",
 ]

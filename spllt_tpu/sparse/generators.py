@@ -13,7 +13,8 @@ import numpy as np
 
 from .csc import CscMatrix
 
-__all__ = ["poisson2d", "poisson3d", "random_spd", "make_rhs"]
+__all__ = ["poisson2d", "poisson3d", "random_spd", "fem3d",
+           "make_rhs"]
 
 
 def _grid_laplacian(shape: tuple[int, ...]) -> CscMatrix:
@@ -83,3 +84,44 @@ def make_rhs(a: CscMatrix, nrhs: int = 1) -> tuple[np.ndarray, np.ndarray]:
     """
     x = np.tile(np.arange(1, nrhs + 1, dtype=np.float64), (a.n, 1))
     return x, a.matvec(x)
+
+
+def fem3d(m: int, dofs: int = 1, seed: int = 0) -> CscMatrix:
+    """27-point 3-D "FEM-like" SPD matrix (bcsstk / audikw structural
+    class analogue: denser element connectivity than the 7-point
+    Poisson; optional ``dofs`` per grid point for block structure)."""
+    shape = (m, m, m)
+    n0 = m ** 3
+    idx = np.arange(n0, dtype=np.int64).reshape(shape)
+    rows, cols = [], []
+    offs = [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1)
+            for k in (-1, 0, 1)]
+    for (di, dj, dk) in offs:
+        if (di, dj, dk) <= (0, 0, 0):
+            continue   # lower triangle only (plus diag handled below)
+        sl_a = tuple(slice(max(0, -d), m - max(0, d)) for d in (di, dj, dk))
+        sl_b = tuple(slice(max(0, d), m + min(0, d)) for d in (di, dj, dk))
+        a = idx[sl_a].ravel()
+        b = idx[sl_b].ravel()
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        rows.append(hi)
+        cols.append(lo)
+    rows = np.concatenate([np.arange(n0)] + rows)
+    cols = np.concatenate([np.arange(n0)] + cols)
+    if dofs > 1:
+        rr = (rows[:, None] * dofs + np.arange(dofs)[None, :]).ravel()
+        cc = (cols[:, None] * dofs + np.arange(dofs)[None, :]).ravel()
+        rows, cols = rr, cc
+    n = n0 * dofs
+    rng = np.random.default_rng(seed)
+    vals = -np.abs(rng.standard_normal(len(rows)))
+    a = CscMatrix.from_coo(n, rows, cols, vals, sum_duplicates=True)
+    # diagonal dominance -> SPD
+    deg = np.zeros(n)
+    cs = np.repeat(np.arange(n, dtype=np.int64), np.diff(a.colptr))
+    off = a.rowind != cs
+    np.add.at(deg, a.rowind[off], np.abs(a.values[off]))
+    np.add.at(deg, cs[off], np.abs(a.values[off]))
+    diag_pos = a.colptr[:-1]
+    a.values[diag_pos] = deg + 1.0
+    return a

@@ -130,3 +130,38 @@ def _force_diag_dominant(a: CscMatrix) -> None:
     np.add.at(dom, a.rowind[off], absv[off])
     np.add.at(dom, cols[off], absv[off])
     a.values[a.colptr[:-1]] = dom + 1.0
+
+
+def write_rutherford_boeing(path: str, a: CscMatrix,
+                            title: str = "spllt_tpu matrix") -> None:
+    """Write the lower-triangle CSC as a Rutherford-Boeing ``rsa`` file
+    (real symmetric assembled) — interchange parity with the reference's
+    RB I/O (SPRAL rb_read/rb_write, spllt_mod.F90:426-495)."""
+    n = a.n
+    nnz = int(a.colptr[-1])
+    per_int, per_val = 8, 3
+    ptrcrd = -(-(n + 1) // per_int)
+    indcrd = -(-nnz // per_int)
+    valcrd = -(-nnz // per_val)
+
+    def cards(arr, per, fmt):
+        lines = []
+        for i in range(0, len(arr), per):
+            lines.append("".join(fmt % v for v in arr[i:i + per]))
+        return lines
+
+    with open(path, "w") as f:
+        f.write(f"{title[:72]:<72s}{'spllttpu':<8s}\n")
+        f.write(f"{ptrcrd + indcrd + valcrd:14d}{ptrcrd:14d}"
+                f"{indcrd:14d}{valcrd:14d}\n")
+        f.write(f"{'rsa':<14s}{n:14d}{n:14d}{nnz:14d}{0:14d}\n")
+        f.write(f"{'(8I10)':<16s}{'(8I10)':<16s}{'(3E26.18)':<20s}\n")
+        for ln in cards(np.asarray(a.colptr) + 1, per_int, "%10d"):
+            f.write(ln + "\n")
+        for ln in cards(np.asarray(a.rowind) + 1, per_int, "%10d"):
+            f.write(ln + "\n")
+        vals = (a.values if a.values is not None
+                else np.zeros(nnz))
+        for ln in cards(np.asarray(vals, dtype=np.float64), per_val,
+                        "%26.18E"):
+            f.write(ln + "\n")

@@ -85,3 +85,31 @@ def test_rutherford_boeing_reader(tmp_path):
     dense = a.to_scipy().toarray()
     np.testing.assert_allclose(
         dense, [[4, -1, 0], [-1, 4, -1], [0, -1, 4]])
+
+
+def test_rb_roundtrip(tmp_path):
+    """RB writer ↔ reader round trip preserves pattern and values."""
+    from spllt_tpu import fem3d
+    from spllt_tpu.sparse.io import (read_rutherford_boeing,
+                                     write_rutherford_boeing)
+
+    a = fem3d(5, dofs=2, seed=3)
+    p = str(tmp_path / "m.rb")
+    write_rutherford_boeing(p, a)
+    b = read_rutherford_boeing(p, force_posdef=False)
+    np.testing.assert_array_equal(a.colptr, b.colptr)
+    np.testing.assert_array_equal(a.rowind, b.rowind)
+    np.testing.assert_allclose(a.values, b.values, rtol=0, atol=0)
+
+
+def test_fem3d_solvable():
+    """The FEM-class fixture factors and solves to f64 accuracy."""
+    from spllt_tpu import Options, analyse, factor, fem3d, make_rhs, solve
+
+    a = fem3d(6)
+    s = analyse(a, Options(nb=16, nemin=8, mode="stf"))
+    num = factor(s)
+    xt, b = make_rhs(a, 2)
+    x = solve(num, b)
+    r = np.linalg.norm(a.matvec(x) - b) / np.linalg.norm(b)
+    assert r < 1e-13
