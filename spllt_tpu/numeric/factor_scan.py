@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ..plan.buckets import make_buckets, pad_tables
 from .factor import _potrf_batch_blocked, _trsm_batch
 from .pallas_potrf import pallas_potrf_batch
+from .pallas_trsm import pallas_trsm_batch
 from .pallas_update import build_micro_tasks, pallas_apply_updates
 
 __all__ = ["ScanFactorExecutor"]
@@ -108,21 +109,26 @@ class ScanFactorExecutor:
         # ~1.6 ms per call site; the pallas panel kernel ~0.4 ms)
         self._pallas_potrf = pallas_updates != "off"
         self._potrf_group = max(1, 1024 // fp.nb)
+        self._trsm_group = max(1, 512 // fp.nb)
         if self._pallas_potrf:
-            g = self._potrf_group
             for b in self.buckets:
-                tbl = b.tables.get("potrf_blk")
-                if tbl is None or tbl.shape[1] == 0:
-                    continue
-                k = tbl.shape[1]
-                kp = -(-k // g) * g
-                if kp != k:
-                    nlev = tbl.shape[0]
-                    for nm, pv in (("potrf_blk", self.scratch),
-                                   ("potrf_k", 0)):
-                        ext = np.full((nlev, kp - k), pv, np.int64)
-                        b.tables[nm] = np.concatenate(
-                            [b.tables[nm], ext], axis=1)
+                for g, names in (
+                        (self._potrf_group,
+                         (("potrf_blk", self.scratch), ("potrf_k", 0))),
+                        (self._trsm_group,
+                         (("trsm_diag", self.scratch),
+                          ("trsm_dst", self.scratch), ("trsm_k", 0)))):
+                    tbl = b.tables.get(names[0][0])
+                    if tbl is None or tbl.shape[1] == 0:
+                        continue
+                    k = tbl.shape[1]
+                    kp = -(-k // g) * g
+                    if kp != k:
+                        nlev = tbl.shape[0]
+                        for nm, pv in names:
+                            ext = np.full((nlev, kp - k), pv, np.int64)
+                            b.tables[nm] = np.concatenate(
+                                [b.tables[nm], ext], axis=1)
         self._bucket_tables = [
             {k: jnp.asarray(np.minimum(v, _I32MAX), dtype=jnp.int32)
              for k, v in b.tables.items()}
@@ -164,8 +170,10 @@ class ScanFactorExecutor:
             real = sum(len(mt["dst"]) for mt in per_level)
             if real == 0:
                 continue
-            if self.pallas_mode == "auto" and (
-                    kpu * nlev > 1.7 * real + 16 * nlev):
+            # cost model (measured on v5e): pallas grid step ~4.3 us/task
+            # including padding; the XLA row-granular gather/GEMM/scatter
+            # path ~25 us/task.  Route unless padding makes pallas lose.
+            if self.pallas_mode == "auto" and kpu * nlev * 4.3 > real * 25:
                 continue
             span_max = max(int(mt["span"].max()) for mt in per_level
                            if len(mt["dst"]))
@@ -269,8 +277,15 @@ class ScanFactorExecutor:
             # ---- trsm ----
             if "trsm_diag" in tb and tb["trsm_diag"].shape[0] > 0 \
                     and "trsm" not in self._skip:
-                out = _trsm_batch(pool[tb["trsm_diag"]],
-                                  pool[tb["trsm_dst"]], tb["trsm_k"], nb)
+                if self._pallas_potrf:
+                    out = pallas_trsm_batch(
+                        pool[tb["trsm_diag"]], pool[tb["trsm_dst"]],
+                        tb["trsm_k"], nb, group=self._trsm_group,
+                        interpret=interp)
+                else:
+                    out = _trsm_batch(pool[tb["trsm_diag"]],
+                                      pool[tb["trsm_dst"]],
+                                      tb["trsm_k"], nb)
                 pool = pool.at[tb["trsm_dst"]].set(out)
             return (pool, maps, blk_n, srcvec), None
 

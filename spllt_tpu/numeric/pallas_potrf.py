@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["pallas_potrf_batch"]
 
 
-def _kernel(t_ref, kv_ref, o_ref, s_ref, *, nb, pb=8):
+def _kernel(kv_ref, t_ref, o_ref, s_ref, *, nb, pb=8, group):
     """Row-oriented (upper/Uᵀ) panel elimination, fully static.
 
     Per pb-row panel: pb scalar elimination steps touching only the
@@ -42,7 +42,11 @@ def _kernel(t_ref, kv_ref, o_ref, s_ref, *, nb, pb=8):
     emits the lower form.
     """
     s0 = t_ref[...]                              # [G, nb, nb]
-    kv = kv_ref[:, 0][:, None, None]             # [G, 1, 1] int32
+    g0 = pl.program_id(0) * group
+    gi = jax.lax.broadcasted_iota(jnp.int32, (group, 1, 1), 0)
+    kv = jnp.zeros((group, 1, 1), jnp.int32)     # [G, 1, 1] from SMEM
+    for i in range(group):                       # (1D→3D vector reshape
+        kv = jnp.where(gi == i, kv_ref[g0 + i], kv)   # unsupported)
     rowi = jax.lax.broadcasted_iota(jnp.int32, (1, nb, nb), 1)
     coli = jax.lax.broadcasted_iota(jnp.int32, (1, nb, nb), 2)
     st = jnp.swapaxes(s0, 1, 2)
@@ -98,18 +102,19 @@ def pallas_potrf_batch(tiles, kvec, nb: int, group: int = 32,
     """
     k = tiles.shape[0]
     assert k % group == 0, "pad the batch to a multiple of group"
-    kv2 = jnp.broadcast_to(kvec.astype(jnp.int32)[:, None], (k, 128))
-    grid = (k // group,)
-    fn = pl.pallas_call(
-        functools.partial(_kernel, nb=nb),
-        grid=grid,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(k // group,),
         in_specs=[
-            pl.BlockSpec((group, nb, nb), lambda g: (g, 0, 0)),
-            pl.BlockSpec((group, 128), lambda g: (g, 0)),
+            pl.BlockSpec((group, nb, nb), lambda g, kv: (g, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((group, nb, nb), lambda g: (g, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct(tiles.shape, tiles.dtype),
+        out_specs=pl.BlockSpec((group, nb, nb), lambda g, kv: (g, 0, 0)),
         scratch_shapes=[pltpu.VMEM((group, nb, nb), jnp.float32)],
+    )
+    fn = pl.pallas_call(
+        functools.partial(_kernel, nb=nb, group=group),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(tiles.shape, tiles.dtype),
         interpret=interpret,
     )
-    return fn(tiles, kv2)
+    return fn(kvec.astype(jnp.int32), tiles)

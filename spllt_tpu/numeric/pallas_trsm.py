@@ -1,0 +1,98 @@
+"""Pallas batched trsm: dst ← dst · L^{-T} (masked columns).
+
+XLA's ``lax.linalg.triangular_solve`` lowers to a serialized
+block-inversion loop costing ~1-2 ms per call site; one call per level
+put it on the factorization's critical path.  This kernel solves a
+whole batch in VMEM: it computes R = L^{-1}·dstᵀ by 8-row forward
+substitution panels — one full-width MXU contraction eliminates the
+finished rows, eight unrolled scalar steps solve within the panel — and
+returns Rᵀ.  Lane addressing is done with iota masks and static sublane
+slices only (TPU lanes cannot be sliced).
+
+Semantics match :func:`spllt_tpu.numeric.factor._trsm_batch`: the diag
+tile holds [[L, 0], [B·L^{-T}, 0]] from potrf (rows >= kvec of the
+lower triangle are junk for the solve; columns >= kvec of the output
+are zeroed, so the junk never propagates — same argument as the XLA
+path's pad_eye).
+
+Reference analogue: ``spllt_solve_block`` (dtrsm,
+/root/reference/src/spllt_kernels_mod.F90:1217-1229).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pallas_trsm_batch"]
+
+
+def _kernel(kv_ref, d_ref, x_ref, o_ref, r_ref, *, nb, pb=8, group):
+    lmat = d_ref[...]                            # [G, nb, nb] diag tiles
+    y = jnp.swapaxes(x_ref[...], 1, 2)           # dstᵀ
+    g0 = pl.program_id(0) * group
+    gi = jax.lax.broadcasted_iota(jnp.int32, (group, 1, 1), 0)
+    kv = jnp.zeros((group, 1, 1), jnp.int32)     # [G, 1, 1] from SMEM
+    for i in range(group):                       # (1D→3D vector reshape
+        kv = jnp.where(gi == i, kv_ref[g0 + i], kv)   # unsupported)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nb), 2)
+    sub8 = jax.lax.broadcasted_iota(jnp.int32, (1, pb, 1), 1)
+    f32 = lmat.dtype
+    r_ref[...] = jnp.zeros_like(lmat)
+    hi = jax.lax.Precision.HIGHEST
+    for p0 in range(0, nb, pb):
+        lp = lmat[:, p0:p0 + pb, :]              # [G, pb, nb] L row panel
+        # eliminate the finished rows: acc = yᵀ_panel − L[p,:]·R
+        acc = (y[:, p0:p0 + pb, :]
+               - jax.lax.dot_general(lp, r_ref[...],
+                                     (((2,), (1,)), ((0,), (0,))),
+                                     precision=hi,
+                                     preferred_element_type=f32))
+        for jj in range(pb):
+            j = p0 + jj
+            lrow = lp[:, jj:jj + 1, :]           # [G, 1, nb]
+            piv = jnp.sum(lrow * (coli == j).astype(f32), axis=2,
+                          keepdims=True)         # [G, 1, 1]
+            valid = (j < kv).astype(f32)
+            inv = 1.0 / jnp.where(j < kv, piv, jnp.ones((), f32))
+            row = acc[:, jj:jj + 1, :] * inv * valid
+            # multipliers of the remaining panel rows: L[p0+i, j]
+            lcol = jnp.sum(lp * (coli == j).astype(f32), axis=2,
+                           keepdims=True)        # [G, pb, 1]
+            acc = (acc * (1.0 - (sub8 == jj).astype(f32))
+                   + row * (sub8 == jj).astype(f32)
+                   - lcol * row * (sub8 > jj).astype(f32))
+        r_ref[:, p0:p0 + pb, :] = acc
+    o_ref[...] = jnp.swapaxes(r_ref[...], 1, 2)
+
+
+def pallas_trsm_batch(diag_tiles, dst_tiles, kvec, nb: int, group: int = 4,
+                      interpret: bool = False):
+    """Batched dst·L^{-T} with columns >= kvec zeroed.
+
+    K must be a multiple of ``group`` (pad with kvec=0 → zero output,
+    the bucketed executors' padding convention).
+    """
+    k = dst_tiles.shape[0]
+    assert k % group == 0, "pad the batch to a multiple of group"
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(k // group,),
+        in_specs=[
+            pl.BlockSpec((group, nb, nb), lambda g, kv: (g, 0, 0)),
+            pl.BlockSpec((group, nb, nb), lambda g, kv: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((group, nb, nb), lambda g, kv: (g, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((group, nb, nb), jnp.float32)],
+    )
+    fn = pl.pallas_call(
+        functools.partial(_kernel, nb=nb, group=group),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(dst_tiles.shape, dst_tiles.dtype),
+        interpret=interpret,
+    )
+    return fn(kvec.astype(jnp.int32), diag_tiles, dst_tiles)

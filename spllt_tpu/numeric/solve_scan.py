@@ -21,7 +21,9 @@ __all__ = ["ScanSolveExecutor"]
 
 class ScanSolveExecutor:
     def __init__(self, sp, nrhs: int, dtype=jnp.float32,
-                 matmul_precision="highest", alpha: float = 1.6):
+                 matmul_precision="highest", alpha: float = 1.6,
+                 _skip: frozenset = frozenset()):
+        self._skip = _skip      # phase names to drop (timing diagnostics)
         self.sp = sp
         self.nb = sp.nb
         self.n = sp.n
@@ -140,8 +142,10 @@ class ScanSolveExecutor:
         def run(pool_ext, x, bucket_tables):
             iota = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
             for bt in bucket_tables:
-                has_sol = "sol_blk" in bt and bt["sol_blk"].shape[1] > 0
-                has_upd = "upd_blk" in bt and bt["upd_blk"].shape[1] > 0
+                has_sol = "sol_blk" in bt and bt["sol_blk"].shape[1] > 0 \
+                    and "sol" not in self._skip
+                has_upd = "upd_blk" in bt and bt["upd_blk"].shape[1] > 0 \
+                    and "upd" not in self._skip
                 tb_used = {k: v for k, v in bt.items()
                            if v.shape[1] > 0}
 
