@@ -305,7 +305,7 @@ int spllt_supernodes(int64_t n, const int64_t *colptr,
             int64_t nc_c = en_m[c_r] - sa_m[c_r] + 1;
             int64_t nc_p = en_m[p] - sa_m[p] + 1;
             if (en_m[c_r] + 1 != sa_m[p]) continue;
-            if (nc_c >= nemin && nc_p >= nemin) continue;
+            if (nc_c >= nemin || nc_p >= nemin) continue;
             std::vector<int64_t> nr(f_rows[c_r].begin(),
                                     f_rows[c_r].begin() + nc_c);
             nr.insert(nr.end(), f_rows[p].begin(), f_rows[p].end());

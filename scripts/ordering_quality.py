@@ -1,0 +1,49 @@
+"""Ordering quality: nnz(L) and factor flops per ordering per matrix.
+
+The reference delegates ordering to METIS via SPRAL SSIDS; we own the
+orderings, so this sweep documents their fill quality on the fixture
+families (BASELINE config 3).  Host-only (symbolic analyse), no device.
+
+    python scripts/ordering_quality.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from spllt_tpu import (Options, analyse, fem3d, poisson2d, poisson3d,  # noqa
+                       random_spd)
+
+
+def main() -> int:
+    mats = [
+        ("poisson2d_64", poisson2d(64), (64, 64)),
+        ("poisson3d_20", poisson3d(20), (20, 20, 20)),
+        ("fem3d_12", fem3d(12), None),
+        ("fem3d_10_dof3", fem3d(10, dofs=3), None),
+        ("randspd_5000", random_spd(5000, density=0.002, seed=7), None),
+    ]
+    print(f"{'matrix':16s} {'n':>7s} {'ordering':>8s} {'nnz(L)':>12s} "
+          f"{'flops':>12s} {'nodes':>7s}")
+    for name, a, gs in mats:
+        for ordering in ("amd", "nd-grid", "rcm", "natural"):
+            if ordering == "nd-grid" and gs is None:
+                continue
+            try:
+                s = analyse(a, Options(ordering=ordering, grid_shape=gs,
+                                       nemin=32, prune_tree=False))
+            except Exception as e:  # pragma: no cover
+                print(f"{name:16s} {a.n:7d} {ordering:>8s}  FAILED: {e}")
+                continue
+            print(f"{name:16s} {a.n:7d} {ordering:>8s} "
+                  f"{s.inform.num_factor:12d} {s.inform.num_flops:12d} "
+                  f"{s.nnodes:7d}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

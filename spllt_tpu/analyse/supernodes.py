@@ -127,7 +127,9 @@ def find_supernodes(
 
     # ---------------- phase 2: nemin amalgamation ------------------------- #
     # Merge child c into parent p when the child's columns are contiguous
-    # with the parent's and either side has fewer than nemin columns.  After
+    # with the parent's and BOTH sides have fewer than nemin columns (the
+    # SSIDS nemin rule — merging on "either" collapses chains of small
+    # supernodes into one dense giant, n²/2 fill on banded orderings).  After
     # merging, rows(p) = cols(c) ∪ rows(p)  (below(c) ⊆ rows(p) because
     # struct(L_{:,c})\{c} ⊆ struct(L_{:,parent(c)}) transitively).
     alive = np.ones(nf, dtype=bool)
@@ -157,7 +159,7 @@ def find_supernodes(
             ncols_p = int(en_m[p] - sa_m[p] + 1)
             if en_m[c_r] + 1 != sa_m[p]:
                 continue  # not contiguous (only last child can be)
-            if ncols_c >= nemin and ncols_p >= nemin:
+            if ncols_c >= nemin or ncols_p >= nemin:
                 continue
             # merge c_r into p
             own_c = rows_m[c_r][:ncols_c]

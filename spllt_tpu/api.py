@@ -204,7 +204,8 @@ def _solve_once(num: NumericFactor, bb: np.ndarray, job: int) -> np.ndarray:
 
                 ex = ScanSolveExecutor(
                     num.splan, nrhs, dtype=dtype,
-                    matmul_precision=num.options.precision)
+                    matmul_precision=num.options.precision,
+                    pallas=num.options.pallas_updates)
             else:
                 from .numeric.solve import SolveExecutor
 

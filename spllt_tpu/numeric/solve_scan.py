@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 
 from ..plan.buckets import make_buckets, pad_tables
+from .factor_scan import _on_cpu
+from .pallas_solve import pallas_left_solve
 
 __all__ = ["ScanSolveExecutor"]
 
@@ -22,8 +24,14 @@ __all__ = ["ScanSolveExecutor"]
 class ScanSolveExecutor:
     def __init__(self, sp, nrhs: int, dtype=jnp.float32,
                  matmul_precision="highest", alpha: float = 1.6,
-                 _skip: frozenset = frozenset()):
+                 pallas: str = "auto", _skip: frozenset = frozenset()):
         self._skip = _skip      # phase names to drop (timing diagnostics)
+        self._interpret = _on_cpu()
+        if np.dtype(dtype) != np.float32 or (
+                not self._interpret and sp.nb % 128 != 0):
+            pallas = "off"
+        self._pallas = pallas != "off"
+        self._group = max(1, 1024 // sp.nb)
         self.sp = sp
         self.nb = sp.nb
         self.n = sp.n
@@ -62,7 +70,26 @@ class ScanSolveExecutor:
                 "upd": {"blk": -1, "rows": pad_rows, "c0": 0, "k": 0},
             }
             spans = make_buckets(counts, nlev, alpha=alpha)
-            return [pad_tables(s, fields, ptrs, pad_values) for s in spans]
+            buckets = [pad_tables(s, fields, ptrs, pad_values)
+                       for s in spans]
+            if self._pallas:
+                # pad sol tables to the pallas group size
+                g = self._group
+                for b in buckets:
+                    tbl = b.tables.get("sol_blk")
+                    if tbl is None or tbl.shape[1] == 0 \
+                            or tbl.shape[1] % g == 0:
+                        continue
+                    nl, k = tbl.shape
+                    kp = -(-k // g) * g
+                    for nm, pv in (("sol_blk", -1), ("sol_k", 0)):
+                        ext = np.full((nl, kp - k), pv, np.int64)
+                        b.tables[nm] = np.concatenate(
+                            [b.tables[nm], ext], axis=1)
+                    extr = np.tile(pad_rows, (nl, kp - k, 1))
+                    b.tables["sol_rows"] = np.concatenate(
+                        [b.tables["sol_rows"], extr], axis=1)
+            return buckets
 
         self._fwd_buckets = prep("fwd")
         self._bwd_buckets = prep("bwd")
@@ -99,12 +126,19 @@ class ScanSolveExecutor:
             coli = jax.lax.broadcasted_iota(jnp.int32, (1, nb, nb), 2)
             slot = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
             k = kvec[:, None, None]
-            m = tiles + ((rowi == coli) & (rowi >= k)).astype(tiles.dtype)
             rvalid = (rows < n)[..., None].astype(x.dtype)
             z = x[rows] * rvalid
-            y = jax.lax.linalg.triangular_solve(
-                m, z, left_side=True, lower=True,
-                transpose_a=not forward)
+            if self._pallas:
+                y = pallas_left_solve(tiles, z, kvec, nb,
+                                      transpose=not forward,
+                                      group=self._group,
+                                      interpret=self._interpret)
+            else:
+                m = tiles + ((rowi == coli)
+                             & (rowi >= k)).astype(tiles.dtype)
+                y = jax.lax.linalg.triangular_solve(
+                    m, z, left_side=True, lower=True,
+                    transpose_a=not forward)
             colmask = slot < kvec[:, None]
             rows_set = jnp.where(colmask, rows, n)
             x = x.at[rows_set].set(y * colmask[..., None].astype(x.dtype),
