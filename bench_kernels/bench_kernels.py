@@ -23,6 +23,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
+def _fetch(x):
+    """Force TRUE completion: on the axon relay block_until_ready returns
+    at dispatch, so fetch one element device->host (executions run in
+    dispatch order, so fetching the last bounds the whole batch)."""
+    while isinstance(x, (tuple, list)):
+        x = x[0]
+    return float(np.asarray(x)[(0,) * x.ndim])
+
+
 def bench_op(fn, args, reps=10):
     """Time fn over distinct inputs (identical repeated executions can be
     memoized by the remote-execution layer, giving impossible rates)."""
@@ -34,20 +43,12 @@ def bench_op(fn, args, reps=10):
                   if hasattr(a, "dtype") and a.dtype != jnp.int32 else a
                   for a in args]
         variants.append(tuple(scaled))
-    for v in variants:
-        jax_block(v)
     out = fn(*variants[0])
-    jax_block(out)
+    _fetch(out)
     t0 = time.perf_counter()
     outs = [fn(*v) for v in variants]
-    for o in outs:
-        jax_block(o)
+    _fetch(outs[-1])
     return (time.perf_counter() - t0) / reps
-
-
-def jax_block(x):
-    if hasattr(x, "block_until_ready"):
-        x.block_until_ready()
     elif isinstance(x, (tuple, list)):
         for v in x:
             jax_block(v)
@@ -66,6 +67,8 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     from spllt_tpu.numeric.factor import _potrf_batch, _trsm_batch
+    from spllt_tpu.numeric.pallas_potrf import pallas_potrf_batch
+    from spllt_tpu.numeric.pallas_trsm import pallas_trsm_batch
 
     dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
     prec = args.precision
@@ -107,6 +110,24 @@ def main(argv=None) -> int:
             print(rows[-3], file=sys.stderr)
             print(rows[-2], file=sys.stderr)
             print(rows[-1], file=sys.stderr)
+
+            if nb % 128 == 0 and args.dtype == "float32":
+                gp = max(1, min(8, B, 1024 // nb))
+                if B % gp == 0:
+                    pp = jax.jit(lambda x, kk: pallas_potrf_batch(
+                        x, kk, nb, group=gp))
+                    t = bench_op(pp, (spd_d, k))
+                    fl = B * nb ** 3 / 3
+                    rows.append(f"potrf_pallas,{nb},{B},{t*1e3:.3f},"
+                                f"{fl/t/1e9:.1f}")
+                    pt = jax.jit(lambda d, x, kk: pallas_trsm_batch(
+                        d, x, kk, nb, group=gp))
+                    t = bench_op(pt, (chol, b, k))
+                    fl = B * nb ** 3
+                    rows.append(f"trsm_pallas,{nb},{B},{t*1e3:.3f},"
+                                f"{fl/t/1e9:.1f}")
+                    print(rows[-2], file=sys.stderr)
+                    print(rows[-1], file=sys.stderr)
 
     text = "\n".join(rows)
     if args.csv:
