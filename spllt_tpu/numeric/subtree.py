@@ -19,6 +19,8 @@ import jax.numpy as jnp
 
 from ..errors import NotPositiveDefiniteError
 from .factor import _potrf_batch_blocked
+from .factor_scan import _on_cpu
+from .pallas_potrf import pallas_potrf_batch
 
 __all__ = ["subtree_np", "DenseSubtreeExecutor"]
 
@@ -68,11 +70,25 @@ class DenseSubtreeExecutor:
         i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)
         self._tabs = []
         for b in fp.dense or []:
+            # gather-based assembly: front slot -> value index (or nval =
+            # zero pad).  TPU scatters are element-serialized; the
+            # equivalent gather streams at full bandwidth.
+            ns, sp = int(b["nsub"]), int(b["spad"])
+            self._interpret = _on_cpu()
+            use_pallas = (np.dtype(dtype) == np.float32
+                          and (sp % 128 == 0 or self._interpret))
+            group = max(1, min(ns, 1024 // sp)) if use_pallas else 0
+            if group and ns % group:
+                ns = ns + (group - ns % group)   # pad fronts (kvec=0)
+            idx = np.full((ns, sp, sp), -1, dtype=np.int64)
+            idx[b["asm_sub"], b["asm_r"], b["asm_c"]] = b["asm_vidx"]
+            kvec = np.zeros(ns, dtype=np.int64)
+            kvec[:int(b["nsub"])] = b["kvec"]
+            b = dict(b, kvec=kvec)
             self._tabs.append(dict(
-                spad=int(b["spad"]), nsub=int(b["nsub"]),
+                spad=sp, nsub=ns, group=group,
                 kvec=i32(b["kvec"]),
-                asm_sub=i32(b["asm_sub"]), asm_r=i32(b["asm_r"]),
-                asm_c=i32(b["asm_c"]), asm_vidx=i32(b["asm_vidx"]),
+                asm_idx=i32(np.where(idx < 0, 2**31 - 1, idx)),
                 sc_blk=i32(b["sc_blk"]), sc_sub=i32(b["sc_sub"]),
                 sc_rpos=i32(b["sc_rpos"]),
                 sc_rval=jnp.asarray(b["sc_rval"]),
@@ -83,14 +99,19 @@ class DenseSubtreeExecutor:
 
     def _build(self):
         nb = self.nb
-        metas = [(t["spad"], t["nsub"]) for t in self._tabs]
+        metas = [(t["spad"], t["nsub"], t["group"]) for t in self._tabs]
 
         def run(pool, values, tabs):
-            for (sp, ns), t in zip(metas, tabs):
-                f = jnp.zeros((ns, sp, sp), dtype=pool.dtype)
-                f = f.at[t["asm_sub"], t["asm_r"], t["asm_c"]].add(
-                    values[t["asm_vidx"]])
-                f = _potrf_batch_blocked(f, t["kvec"], sp)
+            vext = jnp.concatenate(
+                [values, jnp.zeros((1,), dtype=values.dtype)])
+            nval = values.shape[0]
+            for (sp, ns, grp), t in zip(metas, tabs):
+                f = vext[jnp.minimum(t["asm_idx"], nval)]
+                if grp:
+                    f = pallas_potrf_batch(f, t["kvec"], sp, group=grp,
+                                           interpret=self._interpret)
+                else:
+                    f = _potrf_batch_blocked(f, t["kvec"], sp)
                 rp = jnp.where(t["sc_rval"], t["sc_rpos"], 0)
                 cp = jnp.where(t["sc_cval"], t["sc_cpos"], 0)
                 vals = f[t["sc_sub"][:, None, None],
