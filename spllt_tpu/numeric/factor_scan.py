@@ -108,8 +108,8 @@ class ScanFactorExecutor:
         # pallas batched potrf (XLA cholesky's serialized lowering costs
         # ~1.6 ms per call site; the pallas panel kernel ~0.4 ms)
         self._pallas_potrf = pallas_updates != "off"
-        self._potrf_group = max(1, 1024 // fp.nb)
-        self._trsm_group = max(1, 512 // fp.nb)
+        self._potrf_group = max(1, (8 * 128 * 128) // (fp.nb * fp.nb))
+        self._trsm_group = max(1, (4 * 128 * 128) // (fp.nb * fp.nb))
         if self._pallas_potrf:
             for b in self.buckets:
                 for g, names in (

@@ -31,7 +31,7 @@ class ScanSolveExecutor:
                 not self._interpret and sp.nb % 128 != 0):
             pallas = "off"
         self._pallas = pallas != "off"
-        self._group = max(1, 1024 // sp.nb)
+        self._group = max(1, (8 * 128 * 128) // (sp.nb * sp.nb))
         self.sp = sp
         self.nb = sp.nb
         self.n = sp.n

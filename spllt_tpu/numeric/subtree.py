@@ -77,7 +77,8 @@ class DenseSubtreeExecutor:
             self._interpret = _on_cpu()
             use_pallas = (np.dtype(dtype) == np.float32
                           and (sp % 128 == 0 or self._interpret))
-            group = max(1, min(ns, 1024 // sp)) if use_pallas else 0
+            group = (max(1, min(ns, (8 * 128 * 128) // (sp * sp)))
+                     if use_pallas else 0)
             if group and ns % group:
                 ns = ns + (group - ns % group)   # pad fronts (kvec=0)
             idx = np.full((ns, sp, sp), -1, dtype=np.int64)
