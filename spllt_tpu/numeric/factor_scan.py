@@ -224,12 +224,23 @@ class ScanFactorExecutor:
             iota = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
             # ---- updbt (pallas fused gather-GEMM-accumulate) ----
             if "pu_dst" in tb and "pallas" not in self._skip:
-                pt = {"dst": tb["pu_dst"], "mr": tb["pu_mr"],
-                      "mc": tb["pu_mc"], "lo": tb["pu_lo"],
-                      "pmin": tb["pu_pmin"], "blkn": tb["pu_blkn"]}
-                poolf = pallas_apply_updates(
-                    pool.reshape(-1, nb), maps, pt, nb=nb, hmax=hmax_b,
-                    interpret=interp)
+                # chunk: 6 scalar-prefetch arrays live in SMEM (1 MB);
+                # destination groups split across chunks still RMW
+                # correctly (partial sums commute)
+                kmax = 16384
+                kk = tb["pu_dst"].shape[0]
+                poolf = pool.reshape(-1, nb)
+                for c0 in range(0, kk, kmax):
+                    c1 = min(kk, c0 + kmax)
+                    pt = {"dst": tb["pu_dst"][c0:c1],
+                          "mr": tb["pu_mr"][c0:c1],
+                          "mc": tb["pu_mc"][c0:c1],
+                          "lo": tb["pu_lo"][c0:c1],
+                          "pmin": tb["pu_pmin"][c0:c1],
+                          "blkn": tb["pu_blkn"][c0:c1]}
+                    poolf = pallas_apply_updates(
+                        poolf, maps, pt, nb=nb, hmax=hmax_b,
+                        interpret=interp)
                 pool = poolf.reshape(pool.shape)
             # ---- updbt (width-fused) ----
             if "updbt_dst" in tb and tb["updbt_dst"].shape[0] > 0 \
