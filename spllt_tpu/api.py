@@ -154,6 +154,12 @@ def solve(num: NumericFactor, b: np.ndarray, job: int = 0,
     if job != 0:
         refine = 0
 
+    if (job == 0 and refine > 0 and num.options.refine_device
+            and num.options.mode == "batched"
+            and num.options.schedule == "scan"):
+        x = _solve_refined_device(num, bb, refine)
+        return x[:, 0] if one_d else x
+
     x = _solve_once(num, bb, job)
     if job == 0 and refine > 0:
         for _ in range(refine):
@@ -161,6 +167,56 @@ def solve(num: NumericFactor, b: np.ndarray, job: int = 0,
             dx = _solve_once(num, r, 0)
             x = x + dx
     return x[:, 0] if one_d else x
+
+
+def _solve_refined_device(num: NumericFactor, bb: np.ndarray,
+                          refine: int) -> np.ndarray:
+    """Refined solve as one device program (f32 solves + f64 ELL-SpMV
+    residuals on device; see numeric/spmv.py)."""
+    import jax.numpy as jnp
+
+    from .numeric.spmv import build_ell, ell_vals
+    from .utils.jaxconfig import ensure_x64
+
+    ensure_x64()
+    symb = num.symb
+    n = symb.n
+    nrhs = bb.shape[1]
+    ell = getattr(symb, "_ell", None)
+    if ell is None:
+        ell = build_ell(symb.a_perm)
+        symb._ell = ell
+    dev = num._solve_execs.get("_ell_dev")
+    if dev is None:
+        dev = (jnp.asarray(ell_vals(ell, num.values_perm)),
+               jnp.asarray(ell.idx))
+        num._solve_execs["_ell_dev"] = dev
+    vals64, idx = dev
+
+    ex = _scan_executor(num, nrhs)
+    xp = np.zeros((n + 1, nrhs), dtype=np.float64)
+    xp[:n] = bb[symb.perm]
+    x64 = np.asarray(ex.full_refined(num.pool, xp, vals64, idx, refine))
+    out = np.empty((n, nrhs), dtype=np.float64)
+    out[symb.perm] = x64[:n]
+    return out
+
+
+def _scan_executor(num: NumericFactor, nrhs: int):
+    import jax.numpy as jnp
+
+    key = (nrhs,)
+    ex = num._solve_execs.get(key)
+    if ex is None:
+        from .numeric.solve_scan import ScanSolveExecutor
+
+        dtype = (jnp.float64 if num.options.dtype == "float64"
+                 else jnp.float32)
+        ex = ScanSolveExecutor(num.splan, nrhs, dtype=dtype,
+                               matmul_precision=num.options.precision,
+                               pallas=num.options.pallas_updates)
+        num._solve_execs[key] = ex
+    return ex
 
 
 def _user_matvec(num: NumericFactor, x: np.ndarray) -> np.ndarray:

@@ -202,6 +202,45 @@ class ScanSolveExecutor:
         return run
 
     # ------------------------------------------------------------------ #
+    def _build_refined(self, refine: int):
+        """Whole refined solve as ONE device program: f32 fwd+bwd solve,
+        float64 ELL-SpMV residual (numeric/spmv.py), f32 correction solve,
+        f64 accumulation — replaces `refine` host round-trip pairs."""
+        from .spmv import spmv
+
+        fwd_run, bwd_run = self._build(True), self._build(False)
+        n = self.n
+
+        def run(pool_ext, b64, ftabs, btabs, vals64, idx):
+            def full(z):
+                return bwd_run(pool_ext,
+                               fwd_run(pool_ext, z, ftabs), btabs)
+
+            x64 = full(b64.astype(self.dtype)).astype(jnp.float64)
+            for _ in range(refine):
+                r = b64[:n] - spmv(vals64, idx, x64)
+                rp = jnp.concatenate(
+                    [r, jnp.zeros((1, r.shape[1]), r.dtype)])
+                dx = full(rp.astype(self.dtype))
+                x64 = x64 + dx.astype(jnp.float64)
+            return x64
+
+        return jax.jit(run)
+
+    def full_refined(self, pool, b64, vals64, idx, refine: int):
+        """Refined A x = b; requires jax x64 mode.  ``b64`` is the
+        permuted rhs [n+1, nrhs] float64; returns float64 [n+1, nrhs]."""
+        fn = getattr(self, "_refined_fns", None)
+        if fn is None:
+            self._refined_fns = {}
+        f = self._refined_fns.get(refine)
+        if f is None:
+            f = self._build_refined(refine)
+            self._refined_fns[refine] = f
+        return f(jnp.asarray(pool, self.dtype), jnp.asarray(b64),
+                 self._fwd_tables, self._bwd_tables, vals64, idx)
+
+    # ------------------------------------------------------------------ #
     # pool must include the trailing scratch block ([nblocks+1, nb, nb],
     # see assemble_*); pad tasks index it as block -1 — no copies made.
 

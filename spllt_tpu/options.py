@@ -39,6 +39,9 @@ class Options:
     pallas_updates: str = "auto"  # fused pallas update kernel: auto|on|off
     pallas_hmax: int = 2048   # source-panel VMEM rows for the fused kernel
     refine: int = 2          # iterative-refinement steps in solve (f64 resid)
+    refine_device: bool = True  # run refinement on device (ELL f64 SpMV,
+    #   one relay round trip for the whole refined solve); falls back to
+    #   the host-residual path for stf/unrolled modes
     ndevices: int = 1        # target device count (ref ncpu/nworker)
     min_width_blas: int = 8  # kept for parity (ref min_width_blas)
     chunk: int = 10          # kept for parity (ref chunk, OMP dep combining)
