@@ -32,6 +32,15 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["pallas_potrf_batch"]
 
 
+def _i0():
+    """int32 zero for BlockSpec index maps: under jax x64 mode a literal
+    ``0`` traces as int64 and Mosaic fails to legalize the index-map
+    function — the refined-solve program (solve_scan._build_refined)
+    runs with x64 enabled for its f64 residual."""
+    import jax.numpy as jnp
+    return jnp.int32(0)
+
+
 def _kernel(kv_ref, t_ref, o_ref, s_ref, *, nb, pb=8, group):
     """Row-oriented (upper/Uᵀ) panel elimination, fully static.
 
@@ -106,9 +115,9 @@ def pallas_potrf_batch(tiles, kvec, nb: int, group: int = 32,
         num_scalar_prefetch=1,
         grid=(k // group,),
         in_specs=[
-            pl.BlockSpec((group, nb, nb), lambda g, kv: (g, 0, 0)),
+            pl.BlockSpec((group, nb, nb), lambda g, kv: (g, _i0(), _i0())),
         ],
-        out_specs=pl.BlockSpec((group, nb, nb), lambda g, kv: (g, 0, 0)),
+        out_specs=pl.BlockSpec((group, nb, nb), lambda g, kv: (g, _i0(), _i0())),
         scratch_shapes=[pltpu.VMEM((group, nb, nb), jnp.float32)],
     )
     fn = pl.pallas_call(

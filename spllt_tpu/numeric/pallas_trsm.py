@@ -31,6 +31,15 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["pallas_trsm_batch"]
 
 
+def _i0():
+    """int32 zero for BlockSpec index maps: under jax x64 mode a literal
+    ``0`` traces as int64 and Mosaic fails to legalize the index-map
+    function — the refined-solve program (solve_scan._build_refined)
+    runs with x64 enabled for its f64 residual."""
+    import jax.numpy as jnp
+    return jnp.int32(0)
+
+
 def _kernel(kv_ref, d_ref, x_ref, o_ref, r_ref, *, nb, pb=8, group):
     lmat = d_ref[...]                            # [G, nb, nb] diag tiles
     y = jnp.swapaxes(x_ref[...], 1, 2)           # dstᵀ
@@ -83,10 +92,10 @@ def pallas_trsm_batch(diag_tiles, dst_tiles, kvec, nb: int, group: int = 4,
         num_scalar_prefetch=1,
         grid=(k // group,),
         in_specs=[
-            pl.BlockSpec((group, nb, nb), lambda g, kv: (g, 0, 0)),
-            pl.BlockSpec((group, nb, nb), lambda g, kv: (g, 0, 0)),
+            pl.BlockSpec((group, nb, nb), lambda g, kv: (g, _i0(), _i0())),
+            pl.BlockSpec((group, nb, nb), lambda g, kv: (g, _i0(), _i0())),
         ],
-        out_specs=pl.BlockSpec((group, nb, nb), lambda g, kv: (g, 0, 0)),
+        out_specs=pl.BlockSpec((group, nb, nb), lambda g, kv: (g, _i0(), _i0())),
         scratch_shapes=[pltpu.VMEM((group, nb, nb), jnp.float32)],
     )
     fn = pl.pallas_call(

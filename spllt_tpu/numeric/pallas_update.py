@@ -36,6 +36,15 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["build_micro_tasks", "pallas_apply_updates"]
 
 
+def _i0():
+    """int32 zero for BlockSpec index maps: under jax x64 mode a literal
+    ``0`` traces as int64 and Mosaic fails to legalize the index-map
+    function — the refined-solve program (solve_scan._build_refined)
+    runs with x64 enabled for its f64 residual."""
+    import jax.numpy as jnp
+    return jnp.int32(0)
+
+
 def build_micro_tasks(fp, lvl_lo: int, lvl_hi: int, nb: int, hmax: int,
                       pool_rows: int):
     """Expand the (width-fused) updbt tasks of levels [lvl_lo, lvl_hi]
@@ -184,10 +193,10 @@ def pallas_apply_updates(poolf, maps, tasks, nb: int, hmax: int,
         in_specs=[
             pl.BlockSpec((1, 1, nb),
                          lambda t, dst, lo, pmin, blkn, mr, mc:
-                         (mr[t], 0, 0)),          # row map (pipelined)
+                         (mr[t], _i0(), _i0())),          # row map (pipelined)
             pl.BlockSpec((1, 1, nb),
                          lambda t, dst, lo, pmin, blkn, mr, mc:
-                         (mc[t], 0, 0)),          # col map (pipelined)
+                         (mc[t], _i0(), _i0())),          # col map (pipelined)
             pl.BlockSpec(memory_space=pltpu.ANY),   # poolf (HBM)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
