@@ -156,7 +156,8 @@ def solve(num: NumericFactor, b: np.ndarray, job: int = 0,
 
     if (job == 0 and refine > 0 and num.options.refine_device
             and num.options.mode == "batched"
-            and num.options.schedule == "scan"):
+            and num.options.schedule == "scan"
+            and _accelerator_run()):
         x = _solve_refined_device(num, bb, refine)
         return x[:, 0] if one_d else x
 
@@ -167,6 +168,20 @@ def solve(num: NumericFactor, b: np.ndarray, job: int = 0,
             dx = _solve_once(num, r, 0)
             x = x + dx
     return x[:, 0] if one_d else x
+
+
+def _accelerator_run() -> bool:
+    """True when execution lands on an accelerator (TPU / the axon
+    relay).  The fused on-device refined solve exists to avoid per-step
+    host round-trips over the relay (~30 ms each); on the CPU backend
+    host-loop refinement is strictly cheaper than compiling the large
+    fused program, so we only take the device path on accelerators."""
+    import jax
+
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform not in ("cpu",)
+    return jax.default_backend() not in ("cpu",)
 
 
 def _solve_refined_device(num: NumericFactor, bb: np.ndarray,

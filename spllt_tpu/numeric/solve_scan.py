@@ -211,19 +211,26 @@ class ScanSolveExecutor:
         fwd_run, bwd_run = self._build(True), self._build(False)
         n = self.n
 
+        # the refinement loop is a lax.fori_loop starting from x=0 (the
+        # first iteration's residual is b, i.e. the plain solve), so the
+        # fwd+bwd solve body is traced and compiled exactly ONCE —
+        # unrolling `refine+1` copies made XLA:CPU compile times explode
+        # (>15 min at refine=3 on a 500-task plan)
         def run(pool_ext, b64, ftabs, btabs, vals64, idx):
             def full(z):
                 return bwd_run(pool_ext,
                                fwd_run(pool_ext, z, ftabs), btabs)
 
-            x64 = full(b64.astype(self.dtype)).astype(jnp.float64)
-            for _ in range(refine):
+            def body(_, x64):
                 r = b64[:n] - spmv(vals64, idx, x64)
                 rp = jnp.concatenate(
                     [r, jnp.zeros((1, r.shape[1]), r.dtype)])
-                dx = full(rp.astype(self.dtype))
-                x64 = x64 + dx.astype(jnp.float64)
-            return x64
+                return x64 + full(rp.astype(self.dtype)).astype(
+                    jnp.float64)
+
+            return jax.lax.fori_loop(
+                0, refine + 1, body,
+                jnp.zeros(b64.shape, jnp.float64))
 
         return jax.jit(run)
 
