@@ -2,9 +2,9 @@
 
 Honest timing (chained executions + forced fetch; see memory notes on the
 axon relay).  Synthetic workload shaped like a real wide factorization
-level: K update micro-tasks, nb tile, hmax source panel.
+level: K update micro-tasks, nb tile, per-task nb-row gather windows.
 
-    python bench_kernels/bench_update.py [--k 2000] [--nb 128] [--hmax 512]
+    python bench_kernels/bench_update.py [--k 2000] [--nb 128]
 """
 
 from __future__ import annotations
@@ -24,7 +24,6 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=2000)
     ap.add_argument("--nb", type=int, default=128)
-    ap.add_argument("--hmax", type=int, default=512)
     ap.add_argument("--nblk", type=int, default=4000)
     ap.add_argument("--reps", type=int, default=8)
     args = ap.parse_args(argv)
@@ -34,7 +33,7 @@ def main(argv=None) -> int:
 
     from spllt_tpu.numeric.pallas_update import pallas_apply_updates
 
-    k, nb, hmax, nblk = args.k, args.nb, args.hmax, args.nblk
+    k, nb, nblk = args.k, args.nb, args.nblk
     rows = nblk * nb
     rng = np.random.default_rng(0)
     poolf = rng.standard_normal((rows, nb)).astype(np.float32) * 0.01
@@ -42,16 +41,17 @@ def main(argv=None) -> int:
     maps = np.full((nmaps, nb), -1, dtype=np.int32)
     for m in range(nmaps):
         cnt = rng.integers(nb // 2, nb + 1)
-        maps[m, :cnt] = np.sort(rng.choice(hmax - 1, size=cnt,
-                                           replace=False))
+        maps[m, :cnt] = np.sort(rng.choice(nb, size=cnt, replace=False))
     dst = np.sort(rng.choice(nblk - 1, size=k, replace=True)).astype(
         np.int32)
     tasks = {
         "dst": dst,
         "mr": rng.integers(0, nmaps, size=k).astype(np.int32),
         "mc": rng.integers(0, nmaps, size=k).astype(np.int32),
-        "lo": rng.integers(0, rows - hmax, size=k).astype(np.int32),
-        "pmin": np.zeros(k, dtype=np.int32),
+        "lor": rng.integers(0, rows - nb, size=k).astype(np.int32),
+        "pminr": np.zeros(k, dtype=np.int32),
+        "loc": rng.integers(0, rows - nb, size=k).astype(np.int32),
+        "pminc": np.zeros(k, dtype=np.int32),
         "blkn": np.full(k, nb, dtype=np.int32),
     }
     jmaps = jnp.asarray(maps)
@@ -60,7 +60,7 @@ def main(argv=None) -> int:
 
     # ---------------- pallas path ---------------------------------------- #
     def pal(pf):
-        return pallas_apply_updates(pf, jmaps, jt_np, nb=nb, hmax=hmax)
+        return pallas_apply_updates(pf, jmaps, jt_np, nb=nb)
 
     pal_j = jax.jit(pal, donate_argnums=(0,))
 
@@ -70,9 +70,9 @@ def main(argv=None) -> int:
         pc = jmaps[jt["mc"]]
         vr = pr >= 0
         vc = pc >= 0
-        r = pf[jnp.where(vr, jt["lo"][:, None] + pr, 0)]
+        r = pf[jnp.where(vr, jt["lor"][:, None] + pr, 0)]
         r = r * vr[..., None].astype(pf.dtype)
-        c = pf[jnp.where(vc, jt["lo"][:, None] + pc, 0)]
+        c = pf[jnp.where(vc, jt["loc"][:, None] + pc, 0)]
         c = c * vc[..., None].astype(pf.dtype)
         u = jax.lax.dot_general(r, c, (((2,), (2,)), ((0,), (0,))),
                                 precision="highest",
@@ -83,7 +83,6 @@ def main(argv=None) -> int:
 
     xla_j = jax.jit(xla, donate_argnums=(0,))
 
-    bytes_moved = k * (hmax * nb + 2 * nb * nb) * 4
     for name, fn in (("xla", xla_j), ("pallas", pal_j)):
         pf = jnp.asarray(poolf)
         pf = fn(pf)
@@ -94,8 +93,9 @@ def main(argv=None) -> int:
         float(np.asarray(pf[0, 0]))
         per = (time.perf_counter() - t0) / args.reps
         print(f"{name:7s}: {per*1e3:8.2f} ms/apply   "
+              f"{per/k*1e6:6.2f} us/task   "
               f"{2*k*nb*nb*nb/per/1e9:8.1f} GF/s   "
-              f"(K={k}, nb={nb}, hmax={hmax})", flush=True)
+              f"(K={k}, nb={nb})", flush=True)
     return 0
 
 

@@ -1,0 +1,87 @@
+"""Factor-phase time split via phase skipping.
+
+Times the scan executor with each phase (pallas-updbt / xla-updbt / syrk /
+potrf / trsm) dropped in turn; the delta against the full run attributes
+wall time per phase.  Numbers are honest on the axon relay: each timed rep
+perturbs inputs and forces a device->host fetch of the in-graph flag.
+
+    python scripts/profile_factor.py [--m 32] [--nb 128] [--nemin 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", type=int, default=32)
+    ap.add_argument("--nb", type=int, default=128)
+    ap.add_argument("--nemin", type=int, default=128)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--pallas", default="auto")
+    ap.add_argument("--hmax", type=int, default=2048)
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from spllt_tpu import Options, analyse, poisson3d
+    from spllt_tpu.api import _plans
+    from spllt_tpu.numeric.assemble import assemble_jax
+    from spllt_tpu.numeric.factor_scan import ScanFactorExecutor
+    from spllt_tpu.utils.jaxconfig import enable_compilation_cache
+
+    enable_compilation_cache()
+    m = args.m
+    a = poisson3d(m)
+    opts = Options(ordering="nd-grid", grid_shape=(m,) * 3, nb=args.nb,
+                   nemin=args.nemin, mode="batched", dtype="float32",
+                   refine=2, precision="highest", prune_tree=False)
+    symb = analyse(a, opts)
+    plan, fplan, _ = _plans(symb, opts)
+    print(f"# n={symb.n} nnzL={symb.inform.num_factor} "
+          f"flops={symb.inform.num_flops:.3e} levels={fplan.nlevels} "
+          f"tasks={fplan.num_tasks}", file=sys.stderr)
+    values = symb.a_perm.values
+
+    def timed(skip):
+        ex = ScanFactorExecutor(fplan, dtype=jnp.float32,
+                                matmul_precision="highest",
+                                pallas_updates=args.pallas,
+                                hmax=args.hmax, _skip=frozenset(skip))
+
+        def run(rep):
+            v = values * (1.0 + 1e-7 * rep)
+            pool = assemble_jax(plan, v, jnp.float32)
+            pool, notpos = ex(pool)
+            bool(notpos)   # force fetch
+            return pool
+
+        run(0)  # compile
+        ts = []
+        for i in range(args.reps):
+            t0 = time.perf_counter()
+            run(i + 1)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_full = timed(())
+    print(f"full: {t_full*1e3:8.1f} ms "
+          f"({symb.inform.num_flops/t_full/1e9:.1f} GFLOP/s)")
+    for ph in ("pallas", "updbt", "syrk", "potrf", "trsm"):
+        t = timed((ph,))
+        print(f"w/o {ph:7s}: {t*1e3:8.1f} ms   -> {ph} ~ "
+              f"{(t_full-t)*1e3:7.1f} ms")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

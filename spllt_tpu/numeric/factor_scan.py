@@ -44,10 +44,12 @@ class ScanFactorExecutor:
     ``pallas_updates``: 'off' | 'auto' | 'on' — route the between-update
     (updbt) tasks of suitable buckets through the fused Pallas
     gather-GEMM-accumulate kernel (numeric/pallas_update.py) instead of
-    the XLA gather → dot_general → scatter-add chain.  Tasks whose source
-    row span exceeds ``hmax`` spill to the XLA path.  'auto' enables the
+    the XLA gather → dot_general → scatter-add chain.  'auto' enables the
     kernel for buckets that are wide enough for the per-task grid-step
-    cost to win and whose padding stays bounded.
+    cost to win and whose padding stays bounded.  ``hmax`` is accepted
+    for API compatibility and ignored: the kernel's gather windows are
+    nb rows (per-tile position ranges are contiguous), so every task
+    fits and nothing spills to XLA.
     """
 
     def __init__(self, fp, dtype=jnp.float32, matmul_precision="highest",
@@ -90,7 +92,6 @@ class ScanFactorExecutor:
 
         # ---- pallas fused-update routing (per-bucket static choice) ---- #
         self.pool_rows = (fp.nblocks + 1) * fp.nb
-        self.hmax = max(8, (min(hmax, self.pool_rows) // 8) * 8)
         if np.dtype(dtype) != np.float32 or matmul_precision != "highest":
             pallas_updates = "off"   # kernel is f32/highest only
         self._interpret = _on_cpu()
@@ -149,69 +150,45 @@ class ScanFactorExecutor:
     # ------------------------------------------------------------------ #
     def _route_updates_to_pallas(self, spans, nmaps: int) -> None:
         """For each bucket, expand updbt tasks into destination-sorted
-        micro-tasks for the fused Pallas kernel; tasks whose source row
-        span exceeds hmax stay on the XLA path (spill).  A bucket keeps
-        the XLA path entirely when it is too narrow for the per-grid-step
-        cost to win or padding to the bucket width blows up."""
+        micro-tasks for the fused Pallas kernel.  Every task fits the
+        kernel's nb-row gather windows, so a routed bucket's XLA updbt
+        tables shrink to zero width.  A bucket keeps the XLA path only
+        when it is too narrow for the per-grid-step cost to win (padding
+        to the bucket width blows up)."""
         fp = self.fp
-        self._bucket_hmax = {}
         for bi, (b, (s_, e_, _w)) in enumerate(zip(self.buckets, spans)):
             nlev = e_ - s_ + 1
-            # pass 1 at the hmax cap: spans decide the bucket's panel size
-            # (root-level tasks span widely, leaf levels narrowly — a
-            # per-bucket hmax keeps per-task DMA volume proportionate)
-            per_level, spills = [], []
-            for lvl in range(s_, e_ + 1):
-                mt, sp = build_micro_tasks(fp, lvl, lvl, self.nb,
-                                           self.hmax, self.pool_rows)
-                per_level.append(mt)
-                spills.append(sp)
+            per_level = [build_micro_tasks(fp, lvl, lvl, self.nb,
+                                           self.pool_rows)
+                         for lvl in range(s_, e_ + 1)]
             kpu = max((len(mt["dst"]) for mt in per_level), default=0)
             real = sum(len(mt["dst"]) for mt in per_level)
             if real == 0:
                 continue
-            # cost model (measured on v5e): pallas grid step ~4.3 us/task
-            # including padding; the XLA row-granular gather/GEMM/scatter
-            # path ~25 us/task.  Route unless padding makes pallas lose.
-            if self.pallas_mode == "auto" and kpu * nlev * 4.3 > real * 25:
+            # cost model (measured on v5e): pallas grid step ~1.5 us/task
+            # with nb-row windows; the XLA row-granular gather/GEMM/
+            # scatter path ~25 us/task.  Route unless padding loses.
+            if self.pallas_mode == "auto" and kpu * nlev * 1.5 > real * 25:
                 continue
-            span_max = max(int(mt["span"].max()) for mt in per_level
-                           if len(mt["dst"]))
-            hmax_b = min(self.hmax,
-                         max(8, min(self.pool_rows, -(-span_max // 8) * 8)))
-            if hmax_b < self.hmax:
-                per_level = [build_micro_tasks(fp, lvl, lvl, self.nb,
-                                               hmax_b, self.pool_rows)[0]
-                             for lvl in range(s_, e_ + 1)]
-            self._bucket_hmax[bi] = hmax_b
             padv = {"dst": self.scratch, "mr": nmaps, "mc": nmaps,
-                    "lo": 0, "pmin": 0, "blkn": 0}
-            for name in ("dst", "mr", "mc", "lo", "pmin", "blkn"):
+                    "lor": 0, "pminr": 0, "loc": 0, "pminc": 0, "blkn": 0}
+            for name in padv:
                 buf = np.full((nlev, kpu), padv[name], np.int32)
                 for li, mt in enumerate(per_level):
                     kk = len(mt["dst"])
                     if kk:
                         buf[li, :kk] = mt[name]
                 b.tables[f"pu_{name}"] = buf
-            # shrink the XLA updbt tables to the spilled tasks only
-            smax = max(len(sp) for sp in spills)
-            for nm, arr, pv in (("updbt_dst", fp.updbt_dst, self.scratch),
-                                ("updbt_mr", fp.updbt_mr, 0),
-                                ("updbt_mc", fp.updbt_mc, 0),
-                                ("updbt_svp", fp.updbt_svp, 0),
-                                ("updbt_c", fp.updbt_c, 0)):
-                buf = np.full((nlev, smax), pv, np.int64)
-                for li, sp in enumerate(spills):
-                    if sp:
-                        buf[li, :len(sp)] = arr[sp]
-                b.tables[nm] = buf
+            # the XLA updbt tables of a routed bucket are empty
+            for nm in ("updbt_dst", "updbt_mr", "updbt_mc",
+                       "updbt_svp", "updbt_c"):
+                b.tables[nm] = np.empty((nlev, 0), np.int64)
 
     # ------------------------------------------------------------------ #
     def _build(self):
         nb = self.nb
         prec = self.precision
         nblk1 = self.fp.nblocks + 1
-        hmax = self.hmax
         interp = self._interpret
 
         def bmm_nt(a, b):
@@ -219,12 +196,12 @@ class ScanFactorExecutor:
                 a, b, (((2,), (2,)), ((0,), (0,))),
                 precision=prec, preferred_element_type=a.dtype)
 
-        def level_body(carry, tb, cmax, hmax_b):
+        def level_body(carry, tb, cmax):
             pool, maps, blk_n, srcvec = carry
             iota = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
             # ---- updbt (pallas fused gather-GEMM-accumulate) ----
             if "pu_dst" in tb and "pallas" not in self._skip:
-                # chunk: 6 scalar-prefetch arrays live in SMEM (1 MB);
+                # chunk: 8 scalar-prefetch arrays live in SMEM (1 MB);
                 # destination groups split across chunks still RMW
                 # correctly (partial sums commute)
                 kmax = 16384
@@ -232,15 +209,11 @@ class ScanFactorExecutor:
                 poolf = pool.reshape(-1, nb)
                 for c0 in range(0, kk, kmax):
                     c1 = min(kk, c0 + kmax)
-                    pt = {"dst": tb["pu_dst"][c0:c1],
-                          "mr": tb["pu_mr"][c0:c1],
-                          "mc": tb["pu_mc"][c0:c1],
-                          "lo": tb["pu_lo"][c0:c1],
-                          "pmin": tb["pu_pmin"][c0:c1],
-                          "blkn": tb["pu_blkn"][c0:c1]}
+                    pt = {nm: tb[f"pu_{nm}"][c0:c1]
+                          for nm in ("dst", "mr", "mc", "lor", "pminr",
+                                     "loc", "pminc", "blkn")}
                     poolf = pallas_apply_updates(
-                        poolf, maps, pt, nb=nb, hmax=hmax_b,
-                        interpret=interp)
+                        poolf, maps, pt, nb=nb, interpret=interp)
                 pool = poolf.reshape(pool.shape)
             # ---- updbt (width-fused) ----
             if "updbt_dst" in tb and tb["updbt_dst"].shape[0] > 0 \
@@ -308,10 +281,8 @@ class ScanFactorExecutor:
                 if not tb:
                     continue  # bucket fully absorbed (e.g. by coarse phase)
                 cmax = self._bucket_cmax[bi]
-                hb = getattr(self, "_bucket_hmax", {}).get(bi, hmax)
                 carry, _ = jax.lax.scan(
-                    lambda c, t, _cm=cmax, _hb=hb: level_body(c, t, _cm,
-                                                              _hb),
+                    lambda c, t, _cm=cmax: level_body(c, t, _cm),
                     carry, tb)
             pool = carry[0]
             # in-graph positive-definiteness flag (NaNs appear on failure);

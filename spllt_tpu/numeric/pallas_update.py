@@ -6,13 +6,18 @@ XLA gather → dot_general → scatter-add chain whose row-granular HBM
 gathers and element-serialized scatters dominated the factorization.
 
 Design (per grid step = one micro-task, tasks sorted by destination):
-  * the source rows of one block column live in a contiguous panel of
-    the flat pool; the panel [lo, lo+H) is DMA'd to VMEM (H = per-bucket
-    size), double-buffered across grid steps
+  * the source rows feeding ONE destination tile are a contiguous
+    position range of the source node's column panel (plan/factor_tasks
+    builds position maps from an arange), so the row-role and col-role
+    gathers each read from their own [nb, nb] window of the flat pool —
+    two small DMAs per task, double-buffered across grid steps
   * the two position-map rows arrive as BlockSpec-pipelined inputs
     indexed by scalar-prefetched map ids (no manual DMAs)
   * row gathers become one-hot matmuls on the MXU
-    (R = onehot(pr-lo) @ S), the classic TPU gather trick
+    (R = onehot(pr-pminr) @ Wr), the classic TPU gather trick; with
+    nb-row windows the one-hot contraction is nb³ instead of nb²·hmax —
+    the union-window design this replaces padded every gather to the
+    task's full row+col position span (up to 2048 rows)
   * consecutive micro-tasks with the same destination accumulate in a
     VMEM scratch tile; the destination tile's read DMA is kicked at
     group START (overlapping the whole group's compute) and the tile is
@@ -45,69 +50,71 @@ def _i0():
     return jnp.int32(0)
 
 
-def build_micro_tasks(fp, lvl_lo: int, lvl_hi: int, nb: int, hmax: int,
+def build_micro_tasks(fp, lvl_lo: int, lvl_hi: int, nb: int,
                       pool_rows: int):
     """Expand the (width-fused) updbt tasks of levels [lvl_lo, lvl_hi]
-    back into per-block-column micro-tasks sorted by destination, with
-    contiguous source-panel bounds clamped so every panel DMA of ``hmax``
-    rows stays in bounds of the flat pool [pool_rows, nb].
+    back into per-block-column micro-tasks sorted by destination.  Each
+    task carries two window bases into the flat pool [pool_rows, nb]:
+    ``lor`` for the row-role gather and ``loc`` for the col-role gather,
+    both clamped so the static nb-row window DMA stays in bounds.
 
-    Returns dict of int32 arrays: dst, mr, mc, lo, pmin, blkn, span.
-    Tasks whose span exceeds hmax are returned separately in ``spill``
-    (to be executed by the XLA path).
+    Returns dict of int32 arrays: dst, mr, mc, lor, pminr, loc, pminc,
+    blkn.  Every task fits the nb-row windows (the per-tile position
+    ranges are contiguous), so there is no XLA spill path.
     """
-    dst, mr, mc, lo, pm, bn, spn = [], [], [], [], [], [], []
-    spill = []
+    dst, mr, mc = [], [], []
+    lor, pmr, loc, pmc, bn = [], [], [], [], []
+    lo_cap = pool_rows - nb
     for t in range(int(fp.updbt_ptr[lvl_lo]),
                    int(fp.updbt_ptr[lvl_hi + 1])):
         pr = fp.maps[fp.updbt_mr[t]]
         pc = fp.maps[fp.updbt_mc[t]]
-        valid = np.concatenate([pr[pr >= 0], pc[pc >= 0]])
-        if len(valid) == 0:
+        vr = pr[pr >= 0]
+        vc = pc[pc >= 0]
+        if len(vr) == 0 or len(vc) == 0:
             continue
-        pmin, pmax = int(valid.min()), int(valid.max())
-        if pmax - pmin + 1 > hmax:
-            spill.append(t)
-            continue
+        pminr, pminc = int(vr.min()), int(vc.min())
+        if __debug__:
+            assert int(vr.max()) - pminr < nb, "row positions not tile-local"
+            assert int(vc.max()) - pminc < nb, "col positions not tile-local"
         for kb in range(int(fp.updbt_c[t])):
-            base = int(fp.srcvec[fp.updbt_svp[t] + kb])
-            l0 = base * nb + pmin
-            l2 = min(l0, pool_rows - hmax)
+            base = int(fp.srcvec[fp.updbt_svp[t] + kb]) * nb
+            l0r = min(base + pminr, lo_cap)
+            l0c = min(base + pminc, lo_cap)
             dst.append(int(fp.updbt_dst[t]))
             mr.append(int(fp.updbt_mr[t]))
             mc.append(int(fp.updbt_mc[t]))
-            lo.append(l2)
-            pm.append(pmin - (l0 - l2))
+            lor.append(l0r)
+            pmr.append(pminr - (base + pminr - l0r))
+            loc.append(l0c)
+            pmc.append(pminc - (base + pminc - l0c))
             bn.append(int(fp.blk_n[fp.updbt_dst[t]]))
-            spn.append(pmax - pmin + 1)
     order = np.argsort(np.asarray(dst), kind="stable") if dst else \
         np.empty(0, np.int64)
     out = {
         "dst": np.asarray(dst, np.int32)[order],
         "mr": np.asarray(mr, np.int32)[order],
         "mc": np.asarray(mc, np.int32)[order],
-        "lo": np.asarray(lo, np.int32)[order],
-        "pmin": np.asarray(pm, np.int32)[order],
+        "lor": np.asarray(lor, np.int32)[order],
+        "pminr": np.asarray(pmr, np.int32)[order],
+        "loc": np.asarray(loc, np.int32)[order],
+        "pminc": np.asarray(pmc, np.int32)[order],
         "blkn": np.asarray(bn, np.int32)[order],
-        "span": np.asarray(spn, np.int32)[order],
     }
-    return out, spill
+    return out
 
 
-def _kernel(dst_ref, lo_ref, pmin_ref, blkn_ref, mr_ref, mc_ref,
-            mrow, mcrow, poolf_hbm, out_hbm,
-            acc, panel, dtile, sems, *, nb, hmax, ktasks):
+def _kernel(dst_ref, lor_ref, pminr_ref, loc_ref, pminc_ref, blkn_ref,
+            mr_ref, mc_ref, mrow, mcrow, poolf_hbm, out_hbm,
+            acc, winr, winc, dtile, sems, *, nb, ktasks):
     t = pl.program_id(0)
     slot = jax.lax.rem(jnp.int32(t), jnp.int32(2))
     nxt = jax.lax.rem(jnp.int32(t) + jnp.int32(1), jnp.int32(2))
 
-    def start_panel(s, tt):
-        pltpu.make_async_copy(poolf_hbm.at[pl.ds(lo_ref[tt], hmax)],
-                              panel.at[s], sems.at[s]).start()
-
-    def wait_panel(s, tt):
-        pltpu.make_async_copy(poolf_hbm.at[pl.ds(lo_ref[tt], hmax)],
-                              panel.at[s], sems.at[s]).wait()
+    def win_copy(s, tt, lo_ref, win, sem0):
+        return pltpu.make_async_copy(
+            poolf_hbm.at[pl.ds(lo_ref[tt], nb)], win.at[s],
+            sems.at[sem0 + s])
 
     first = jnp.logical_or(t == 0, dst_ref[jnp.maximum(t - 1, 0)]
                            != dst_ref[t])
@@ -117,7 +124,8 @@ def _kernel(dst_ref, lo_ref, pmin_ref, blkn_ref, mr_ref, mc_ref,
 
     @pl.when(t == 0)
     def _():
-        start_panel(slot, t)
+        win_copy(slot, t, lor_ref, winr, 0).start()
+        win_copy(slot, t, loc_ref, winc, 2).start()
 
     @pl.when(first)
     def _():
@@ -125,31 +133,31 @@ def _kernel(dst_ref, lo_ref, pmin_ref, blkn_ref, mr_ref, mc_ref,
         # group computes
         pltpu.make_async_copy(
             poolf_hbm.at[pl.ds(dst_ref[t] * nb, nb)], dtile,
-            sems.at[2]).start()
+            sems.at[4]).start()
 
     @pl.when(t + 1 < ktasks)
     def _():
-        start_panel(nxt, t + 1)
+        win_copy(nxt, t + 1, lor_ref, winr, 0).start()
+        win_copy(nxt, t + 1, loc_ref, winc, 2).start()
 
-    wait_panel(slot, t)
+    win_copy(slot, t, lor_ref, winr, 0).wait()
+    win_copy(slot, t, loc_ref, winc, 2).wait()
 
-    pmin = pmin_ref[t]
-    pan = panel[slot]                # [hmax, nb]
     pr = mrow[...].reshape(-1)       # [nb] int32 positions or -1
     pc = mcrow[...].reshape(-1)
-    iot_h = jax.lax.broadcasted_iota(jnp.int32, (nb, hmax), 1)
+    iot = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
     # one-hot gather matrices (invalid slots -> all-zero rows)
-    pr_rel = (pr - pmin)[:, None]
-    pc_rel = (pc - pmin)[:, None]
-    ponr = ((iot_h == pr_rel) & (pr[:, None] >= 0)).astype(panel.dtype)
-    ponc = ((iot_h == pc_rel) & (pc[:, None] >= 0)).astype(panel.dtype)
+    ponr = ((iot == (pr - pminr_ref[t])[:, None])
+            & (pr[:, None] >= 0)).astype(winr.dtype)
+    ponc = ((iot == (pc - pminc_ref[t])[:, None])
+            & (pc[:, None] >= 0)).astype(winc.dtype)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
-    cmask = (lane < blkn_ref[t]).astype(panel.dtype)
+    cmask = (lane < blkn_ref[t]).astype(winc.dtype)
 
     hi = jax.lax.Precision.HIGHEST
-    r = jnp.dot(ponr, pan, precision=hi,
+    r = jnp.dot(ponr, winr[slot], precision=hi,
                 preferred_element_type=jnp.float32)
-    c = jnp.dot(ponc, pan, precision=hi,
+    c = jnp.dot(ponc, winc[slot], precision=hi,
                 preferred_element_type=jnp.float32)
     c = c * cmask.reshape(nb, 1)
     u = jax.lax.dot_general(r, c, (((1,), (1,)), ((), ())), precision=hi,
@@ -168,53 +176,55 @@ def _kernel(dst_ref, lo_ref, pmin_ref, blkn_ref, mr_ref, mc_ref,
         # complete the read-modify-write of the destination tile
         pltpu.make_async_copy(
             poolf_hbm.at[pl.ds(dst_ref[t] * nb, nb)], dtile,
-            sems.at[2]).wait()
+            sems.at[4]).wait()
         dtile[:, :] -= acc[:, :]
         cp_out = pltpu.make_async_copy(
-            dtile, out_hbm.at[pl.ds(dst_ref[t] * nb, nb)], sems.at[3])
+            dtile, out_hbm.at[pl.ds(dst_ref[t] * nb, nb)], sems.at[5])
         cp_out.start()
         cp_out.wait()
 
 
-def pallas_apply_updates(poolf, maps, tasks, nb: int, hmax: int,
+def pallas_apply_updates(poolf, maps, tasks, nb: int,
                          interpret: bool = False):
     """Apply sorted update micro-tasks to the flat pool [R, nb].
 
     ``maps`` is [nmaps(+pad), nb] int32; ``tasks`` holds int32 arrays
-    dst/mr/mc/lo/pmin/blkn of length K.  The output aliases the input
-    pool; destinations not touched by any task pass through.
+    dst/mr/mc/lor/pminr/loc/pminc/blkn of length K.  The output aliases
+    the input pool; destinations not touched by any task pass through.
     """
     k = len(tasks["dst"])
     if k == 0:
         return poolf
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=8,
         grid=(k,),
         in_specs=[
             pl.BlockSpec((1, 1, nb),
-                         lambda t, dst, lo, pmin, blkn, mr, mc:
-                         (mr[t], _i0(), _i0())),          # row map (pipelined)
+                         lambda t, dst, lor, pminr, loc, pminc, blkn,
+                         mr, mc: (mr[t], _i0(), _i0())),   # row map
             pl.BlockSpec((1, 1, nb),
-                         lambda t, dst, lo, pmin, blkn, mr, mc:
-                         (mc[t], _i0(), _i0())),          # col map (pipelined)
+                         lambda t, dst, lor, pminr, loc, pminc, blkn,
+                         mr, mc: (mc[t], _i0(), _i0())),   # col map
             pl.BlockSpec(memory_space=pltpu.ANY),   # poolf (HBM)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((nb, nb), jnp.float32),       # acc
-            pltpu.VMEM((2, hmax, nb), jnp.float32),  # panel (dbl buffer)
+            pltpu.VMEM((2, nb, nb), jnp.float32),    # row window (dbl buf)
+            pltpu.VMEM((2, nb, nb), jnp.float32),    # col window (dbl buf)
             pltpu.VMEM((nb, nb), jnp.float32),       # dtile
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((6,)),
         ],
     )
     fn = pl.pallas_call(
-        functools.partial(_kernel, nb=nb, hmax=hmax, ktasks=k),
+        functools.partial(_kernel, nb=nb, ktasks=k),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(poolf.shape, poolf.dtype),
-        input_output_aliases={8: 0},
+        input_output_aliases={10: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )
     maps3 = maps.reshape(maps.shape[0], 1, maps.shape[1])
-    return fn(tasks["dst"], tasks["lo"], tasks["pmin"], tasks["blkn"],
-              tasks["mr"], tasks["mc"], maps3, maps3, poolf)
+    return fn(tasks["dst"], tasks["lor"], tasks["pminr"], tasks["loc"],
+              tasks["pminc"], tasks["blkn"], tasks["mr"], tasks["mc"],
+              maps3, maps3, poolf)

@@ -19,3 +19,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+# XLA:CPU compile times dominate the suite on small hosts (2 vCPUs in the
+# axon environment); the persistent cache makes reruns cheap.
+from spllt_tpu.utils.jaxconfig import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

@@ -15,16 +15,16 @@ def _reference(poolf, maps, tasks, nb):
     for t in range(len(tasks["dst"])):
         pr = maps[tasks["mr"][t]]
         pc = maps[tasks["mc"][t]]
-        lo = tasks["lo"][t]
-        pmin = tasks["pmin"][t]
+        lor, pminr = tasks["lor"][t], tasks["pminr"][t]
+        loc, pminc = tasks["loc"][t], tasks["pminc"][t]
         blkn = tasks["blkn"][t]
         r = np.zeros((nb, nb), np.float32)
         c = np.zeros((nb, nb), np.float32)
         for i in range(nb):
             if pr[i] >= 0:
-                r[i] = poolf[lo + (pr[i] - pmin)]
+                r[i] = poolf[lor + (pr[i] - pminr)]
             if pc[i] >= 0 and i < blkn:
-                c[i] = poolf[lo + (pc[i] - pmin)]
+                c[i] = poolf[loc + (pc[i] - pminc)]
         accs.setdefault(int(tasks["dst"][t]),
                         np.zeros((nb, nb), np.float32))
         accs[int(tasks["dst"][t])] += r @ c.T
@@ -34,38 +34,39 @@ def _reference(poolf, maps, tasks, nb):
 
 
 def test_pallas_update_matches_reference():
-    nb, hmax, nblk = 8, 32, 12
+    nb, nblk = 8, 12
     rng = np.random.default_rng(0)
     rows = nblk * nb
     poolf = rng.standard_normal((rows, nb)).astype(np.float32)
     maps = np.full((5, nb), -1, dtype=np.int32)
-    # map 0: positions 3..10, map 1: sparse, map 2: full range
+    # map 0: positions 3..10, map 1: sparse (span < nb), map 2: full range
     maps[0, :6] = np.arange(3, 9)
-    maps[1, [0, 2, 5]] = [4, 7, 12]
+    maps[1, [0, 2, 5]] = [4, 7, 9]
     maps[2] = np.arange(nb)
     tasks = {
-        # two tasks share dst=4 (accumulation path), one task dst=7
+        # two tasks share dst=4 (accumulation path), one task dst=7;
+        # row and col windows start at different flat rows
         "dst": np.asarray([4, 4, 7], np.int32),
         "mr": np.asarray([0, 2, 1], np.int32),
         "mc": np.asarray([1, 1, 0], np.int32),
-        "lo": np.asarray([0, 8, 16], np.int32),
-        "pmin": np.asarray([0, 0, 2], np.int32),
+        "lor": np.asarray([3, 8, 20], np.int32),
+        "pminr": np.asarray([3, 0, 4], np.int32),
+        "loc": np.asarray([4, 12, 27], np.int32),
+        "pminc": np.asarray([4, 4, 3], np.int32),
         "blkn": np.asarray([nb, 5, nb], np.int32),
     }
     ref = _reference(poolf, maps, tasks, nb)
     got = np.asarray(pallas_apply_updates(
-        jnp.asarray(poolf), jnp.asarray(maps), tasks, nb=nb, hmax=hmax,
+        jnp.asarray(poolf), jnp.asarray(maps), tasks, nb=nb,
         interpret=True))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
     # untouched tiles pass through unchanged
     np.testing.assert_array_equal(got[:4 * nb], poolf[:4 * nb])
 
 
-@pytest.mark.parametrize("hmax", [64, 16])
-def test_scan_executor_pallas_route(hmax):
+def test_scan_executor_pallas_route():
     """Full factorization with updbt routed through the fused pallas
-    kernel (interpret mode on CPU) must match the f64 oracle; small hmax
-    exercises the spill-to-XLA path."""
+    kernel (interpret mode on CPU) must match the f64 oracle."""
     from spllt_tpu import Options, analyse, factor, make_rhs, poisson3d, \
         solve
 
@@ -76,14 +77,17 @@ def test_scan_executor_pallas_route(hmax):
     n0 = factor(s0)
     sp = analyse(mat, Options(mode="batched", schedule="scan",
                               dtype="float32", pallas_updates="on",
-                              pallas_hmax=hmax, **base))
+                              **base))
     np_ = factor(sp)
-    # the pallas route must actually be taken
+    # the pallas route must actually be taken, with no XLA residue
     from spllt_tpu.numeric.factor_scan import ScanFactorExecutor
     import jax.numpy as jnp
     ex = ScanFactorExecutor(np_.fplan, dtype=jnp.float32,
-                            pallas_updates="on", hmax=hmax)
+                            pallas_updates="on")
     assert any("pu_dst" in b.tables for b in ex.buckets)
+    for b in ex.buckets:
+        if "pu_dst" in b.tables:
+            assert b.tables["updbt_dst"].shape[1] == 0
     pool_f32 = np.asarray(np_.pool)[:-1]
     np.testing.assert_allclose(pool_f32, np.asarray(n0.pool)[:len(pool_f32)],
                                rtol=2e-4, atol=2e-4)
