@@ -26,6 +26,8 @@ def main(argv=None) -> int:
     ap.add_argument("--nb", type=int, default=128)
     ap.add_argument("--nblk", type=int, default=4000)
     ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--group", type=int, default=8)
+    ap.add_argument("--precision", default="highest")
     args = ap.parse_args(argv)
 
     import jax
@@ -33,7 +35,8 @@ def main(argv=None) -> int:
 
     from spllt_tpu.numeric.pallas_update import pallas_apply_updates
 
-    k, nb, nblk = args.k, args.nb, args.nblk
+    k = -(-args.k // args.group) * args.group
+    nb, nblk = args.nb, args.nblk
     rows = nblk * nb
     rng = np.random.default_rng(0)
     poolf = rng.standard_normal((rows, nb)).astype(np.float32) * 0.01
@@ -42,25 +45,29 @@ def main(argv=None) -> int:
     for m in range(nmaps):
         cnt = rng.integers(nb // 2, nb + 1)
         maps[m, :cnt] = np.sort(rng.choice(nb, size=cnt, replace=False))
+    maps = maps.astype(np.int32)
     dst = np.sort(rng.choice(nblk - 1, size=k, replace=True)).astype(
         np.int32)
+    mr = rng.integers(0, nmaps, size=k).astype(np.int32)
+    mc = rng.integers(0, nmaps, size=k).astype(np.int32)
     tasks = {
         "dst": dst,
-        "mr": rng.integers(0, nmaps, size=k).astype(np.int32),
-        "mc": rng.integers(0, nmaps, size=k).astype(np.int32),
         "lor": rng.integers(0, rows - nb, size=k).astype(np.int32),
-        "pminr": np.zeros(k, dtype=np.int32),
         "loc": rng.integers(0, rows - nb, size=k).astype(np.int32),
-        "pminc": np.zeros(k, dtype=np.int32),
         "blkn": np.full(k, nb, dtype=np.int32),
+        "relr": maps[mr],
+        "relc": maps[mc],
     }
     jmaps = jnp.asarray(maps)
-    jt = {kk: jnp.asarray(v) for kk, v in tasks.items()}
+    jt = {"mr": jnp.asarray(mr), "mc": jnp.asarray(mc),
+          "lor": jnp.asarray(tasks["lor"]), "loc": jnp.asarray(tasks["loc"]),
+          "dst": jnp.asarray(dst)}
     jt_np = tasks
 
     # ---------------- pallas path ---------------------------------------- #
     def pal(pf):
-        return pallas_apply_updates(pf, jmaps, jt_np, nb=nb)
+        return pallas_apply_updates(pf, jt_np, nb=nb, group=args.group,
+                                    precision=args.precision)
 
     pal_j = jax.jit(pal, donate_argnums=(0,))
 

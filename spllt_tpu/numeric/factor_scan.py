@@ -101,6 +101,9 @@ class ScanFactorExecutor:
             # (interpret mode on CPU accepts any nb, used by tests)
             pallas_updates = "off"
         self.pallas_mode = pallas_updates
+        # micro-tasks per grid step (amortizes the per-step sequencing
+        # floor); interpret mode unrolls the group per call — keep small
+        self._upd_group = 2 if self._interpret else 8
         nmaps = fp.maps.shape[0]
         maps_ext = np.concatenate(
             [fp.maps, np.full((1, fp.nb), -1, fp.maps.dtype)], axis=0)
@@ -156,6 +159,7 @@ class ScanFactorExecutor:
         when it is too narrow for the per-grid-step cost to win (padding
         to the bucket width blows up)."""
         fp = self.fp
+        g = self._upd_group
         for bi, (b, (s_, e_, _w)) in enumerate(zip(self.buckets, spans)):
             nlev = e_ - s_ + 1
             per_level = [build_micro_tasks(fp, lvl, lvl, self.nb,
@@ -165,15 +169,23 @@ class ScanFactorExecutor:
             real = sum(len(mt["dst"]) for mt in per_level)
             if real == 0:
                 continue
-            # cost model (measured on v5e): pallas grid step ~1.5 us/task
-            # with nb-row windows; the XLA row-granular gather/GEMM/
-            # scatter path ~25 us/task.  Route unless padding loses.
-            if self.pallas_mode == "auto" and kpu * nlev * 1.5 > real * 25:
+            kpu = -(-kpu // g) * g      # pad to the grid-step group size
+            # cost model (measured on v5e): a padded pallas sub-task costs
+            # ~0.5 us (grid step ~3 us covers `group` tasks); the XLA
+            # row-granular gather/GEMM/scatter path ~25 us/task.  Route
+            # unless padding loses.
+            if self.pallas_mode == "auto" and kpu * nlev * 0.5 > real * 25:
                 continue
-            padv = {"dst": self.scratch, "mr": nmaps, "mc": nmaps,
-                    "lor": 0, "pminr": 0, "loc": 0, "pminc": 0, "blkn": 0}
+            padv = {"dst": self.scratch, "lor": 0, "loc": 0, "blkn": 0}
             for name in padv:
                 buf = np.full((nlev, kpu), padv[name], np.int32)
+                for li, mt in enumerate(per_level):
+                    kk = len(mt["dst"])
+                    if kk:
+                        buf[li, :kk] = mt[name]
+                b.tables[f"pu_{name}"] = buf
+            for name in ("relr", "relc"):
+                buf = np.full((nlev, kpu, self.nb), -1, np.int32)
                 for li, mt in enumerate(per_level):
                     kk = len(mt["dst"])
                     if kk:
@@ -201,7 +213,7 @@ class ScanFactorExecutor:
             iota = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
             # ---- updbt (pallas fused gather-GEMM-accumulate) ----
             if "pu_dst" in tb and "pallas" not in self._skip:
-                # chunk: 8 scalar-prefetch arrays live in SMEM (1 MB);
+                # chunk: the 4 scalar-prefetch arrays live in SMEM (1 MB);
                 # destination groups split across chunks still RMW
                 # correctly (partial sums commute)
                 kmax = 16384
@@ -210,10 +222,11 @@ class ScanFactorExecutor:
                 for c0 in range(0, kk, kmax):
                     c1 = min(kk, c0 + kmax)
                     pt = {nm: tb[f"pu_{nm}"][c0:c1]
-                          for nm in ("dst", "mr", "mc", "lor", "pminr",
-                                     "loc", "pminc", "blkn")}
+                          for nm in ("dst", "lor", "loc", "blkn",
+                                     "relr", "relc")}
                     poolf = pallas_apply_updates(
-                        poolf, maps, pt, nb=nb, interpret=interp)
+                        poolf, pt, nb=nb, group=self._upd_group,
+                        interpret=interp)
                 pool = poolf.reshape(pool.shape)
             # ---- updbt (width-fused) ----
             if "updbt_dst" in tb and tb["updbt_dst"].shape[0] > 0 \

@@ -5,23 +5,23 @@ accumulate into the destination tile — inside ONE kernel, replacing the
 XLA gather → dot_general → scatter-add chain whose row-granular HBM
 gathers and element-serialized scatters dominated the factorization.
 
-Design (per grid step = one micro-task, tasks sorted by destination):
+Design (per grid step = ``group`` micro-tasks, sorted by destination):
   * the source rows feeding ONE destination tile are a contiguous
     position range of the source node's column panel (plan/factor_tasks
     builds position maps from an arange), so the row-role and col-role
     gathers each read from their own [nb, nb] window of the flat pool —
     two small DMAs per task, double-buffered across grid steps
-  * the two position-map rows arrive as BlockSpec-pipelined inputs
-    indexed by scalar-prefetched map ids (no manual DMAs)
+  * position maps arrive pre-gathered RELATIVE to the window start as a
+    [K, nb] int32 input (-1 = invalid slot), BlockSpec-pipelined in
+    [group, nb] blocks — no map indirection inside the kernel
   * row gathers become one-hot matmuls on the MXU
-    (R = onehot(pr-pminr) @ Wr), the classic TPU gather trick; with
-    nb-row windows the one-hot contraction is nb³ instead of nb²·hmax —
-    the union-window design this replaces padded every gather to the
-    task's full row+col position span (up to 2048 rows)
-  * consecutive micro-tasks with the same destination accumulate in a
-    VMEM scratch tile; the destination tile's read DMA is kicked at
-    group START (overlapping the whole group's compute) and the tile is
-    read-modify-written to HBM once per group
+    (R = onehot(relr) @ Wr), the classic TPU gather trick; with nb-row
+    windows the one-hot contraction is nb³ per task instead of nb²·hmax
+  * ``group`` tasks execute per grid step to amortize the per-step
+    sequencing floor; destination-group boundaries are handled per
+    sub-task (first → kick destination read, last → RMW writeback), and
+    consecutive micro-tasks with the same destination accumulate in a
+    VMEM scratch tile across sub-tasks and grid steps
 
 Reference analogue: ``spllt_update_between`` + ``spllt_expand_buffer``
 (/root/reference/src/spllt_kernels_mod.F90:2108-2237, 2010-2053).
@@ -54,177 +54,236 @@ def build_micro_tasks(fp, lvl_lo: int, lvl_hi: int, nb: int,
                       pool_rows: int):
     """Expand the (width-fused) updbt tasks of levels [lvl_lo, lvl_hi]
     back into per-block-column micro-tasks sorted by destination.  Each
-    task carries two window bases into the flat pool [pool_rows, nb]:
-    ``lor`` for the row-role gather and ``loc`` for the col-role gather,
-    both clamped so the static nb-row window DMA stays in bounds.
+    task carries two window bases into the flat pool [pool_rows, nb]
+    (``lor`` for the row-role gather, ``loc`` for the col-role gather,
+    clamped so the static nb-row window DMA stays in bounds) and two
+    window-relative position-map rows ``relr``/``relc`` [nb] int32
+    (-1 = invalid slot).
 
-    Returns dict of int32 arrays: dst, mr, mc, lor, pminr, loc, pminc,
-    blkn.  Every task fits the nb-row windows (the per-tile position
-    ranges are contiguous), so there is no XLA spill path.
+    Returns dict: dst, lor, loc, blkn (int32 [K]) and relr, relc
+    (int32 [K, nb]).  Every task fits the nb-row windows (per-tile
+    position ranges are contiguous), so there is no XLA spill path.
     """
-    dst, mr, mc = [], [], []
-    lor, pmr, loc, pmc, bn = [], [], [], [], []
+    dst, lor, loc, bn = [], [], [], []
+    relr, relc = [], []
     lo_cap = pool_rows - nb
     for t in range(int(fp.updbt_ptr[lvl_lo]),
                    int(fp.updbt_ptr[lvl_hi + 1])):
-        pr = fp.maps[fp.updbt_mr[t]]
-        pc = fp.maps[fp.updbt_mc[t]]
-        vr = pr[pr >= 0]
-        vc = pc[pc >= 0]
-        if len(vr) == 0 or len(vc) == 0:
+        pr = fp.maps[fp.updbt_mr[t]].astype(np.int64)
+        pc = fp.maps[fp.updbt_mc[t]].astype(np.int64)
+        vr, vc = pr >= 0, pc >= 0
+        if not vr.any() or not vc.any():
             continue
-        pminr, pminc = int(vr.min()), int(vc.min())
+        pminr, pminc = int(pr[vr].min()), int(pc[vc].min())
         if __debug__:
-            assert int(vr.max()) - pminr < nb, "row positions not tile-local"
-            assert int(vc.max()) - pminc < nb, "col positions not tile-local"
+            assert int(pr[vr].max()) - pminr < nb, "row posns not tile-local"
+            assert int(pc[vc].max()) - pminc < nb, "col posns not tile-local"
         for kb in range(int(fp.updbt_c[t])):
             base = int(fp.srcvec[fp.updbt_svp[t] + kb]) * nb
             l0r = min(base + pminr, lo_cap)
             l0c = min(base + pminc, lo_cap)
             dst.append(int(fp.updbt_dst[t]))
-            mr.append(int(fp.updbt_mr[t]))
-            mc.append(int(fp.updbt_mc[t]))
             lor.append(l0r)
-            pmr.append(pminr - (base + pminr - l0r))
             loc.append(l0c)
-            pmc.append(pminc - (base + pminc - l0c))
+            # window-relative positions (absorb the clamp shift)
+            relr.append(np.where(vr, pr + base - l0r, -1).astype(np.int32))
+            relc.append(np.where(vc, pc + base - l0c, -1).astype(np.int32))
             bn.append(int(fp.blk_n[fp.updbt_dst[t]]))
     order = np.argsort(np.asarray(dst), kind="stable") if dst else \
         np.empty(0, np.int64)
     out = {
         "dst": np.asarray(dst, np.int32)[order],
-        "mr": np.asarray(mr, np.int32)[order],
-        "mc": np.asarray(mc, np.int32)[order],
         "lor": np.asarray(lor, np.int32)[order],
-        "pminr": np.asarray(pmr, np.int32)[order],
         "loc": np.asarray(loc, np.int32)[order],
-        "pminc": np.asarray(pmc, np.int32)[order],
         "blkn": np.asarray(bn, np.int32)[order],
+        "relr": (np.stack(relr)[order] if dst
+                 else np.empty((0, nb), np.int32)),
+        "relc": (np.stack(relc)[order] if dst
+                 else np.empty((0, nb), np.int32)),
     }
     return out
 
 
-def _kernel(dst_ref, lor_ref, pminr_ref, loc_ref, pminc_ref, blkn_ref,
-            mr_ref, mc_ref, mrow, mcrow, poolf_hbm, out_hbm,
-            acc, winr, winc, dtile, sems, *, nb, ktasks):
+def _kernel(dst_ref, lor_ref, loc_ref, blkn_ref, relr, relc,
+            poolf_hbm, out_hbm, acc, winr, winc, dtile, gstate,
+            semr, semc, semd_r, semd_w, *, nb, group, ktasks,
+            precision=jax.lax.Precision.HIGHEST):
+    """Destination-tile pipeline: groups alternate between the two
+    ``dtile`` slots.  The read of group q's tile starts at its first
+    sub-task (hidden behind the group's compute); the RMW write starts
+    at its last sub-task and is waited only when slot q&1 is reused two
+    groups later (or at kernel end) — no synchronous DMA stalls on the
+    critical path.  ``gstate`` (SMEM): [0] = groups started, [1]/[2] =
+    pending-write destination row of each slot (-1 = none)."""
     t = pl.program_id(0)
+    nsteps = ktasks // group
     slot = jax.lax.rem(jnp.int32(t), jnp.int32(2))
     nxt = jax.lax.rem(jnp.int32(t) + jnp.int32(1), jnp.int32(2))
 
-    def win_copy(s, tt, lo_ref, win, sem0):
-        return pltpu.make_async_copy(
-            poolf_hbm.at[pl.ds(lo_ref[tt], nb)], win.at[s],
-            sems.at[sem0 + s])
+    def start_wins(s, step):
+        for i in range(group):
+            gi = step * group + i
+            pltpu.make_async_copy(
+                poolf_hbm.at[pl.ds(lor_ref[gi], nb)], winr.at[s, i],
+                semr.at[s, i]).start()
+            pltpu.make_async_copy(
+                poolf_hbm.at[pl.ds(loc_ref[gi], nb)], winc.at[s, i],
+                semc.at[s, i]).start()
 
-    first = jnp.logical_or(t == 0, dst_ref[jnp.maximum(t - 1, 0)]
-                           != dst_ref[t])
-    last = jnp.logical_or(t == ktasks - 1,
-                          dst_ref[jnp.minimum(t + 1, ktasks - 1)]
-                          != dst_ref[t])
+    def wait_write(p):
+        # complete a deferred destination write on dtile slot p
+        pltpu.make_async_copy(
+            dtile.at[p], out_hbm.at[pl.ds(gstate[1 + p], nb)],
+            semd_w.at[p]).wait()
+        gstate[1 + p] = jnp.int32(-1)
 
     @pl.when(t == 0)
     def _():
-        win_copy(slot, t, lor_ref, winr, 0).start()
-        win_copy(slot, t, loc_ref, winc, 2).start()
+        start_wins(slot, t)
+        gstate[0] = jnp.int32(0)
+        gstate[1] = jnp.int32(-1)
+        gstate[2] = jnp.int32(-1)
 
-    @pl.when(first)
+    @pl.when(t + 1 < nsteps)
     def _():
-        # kick the destination-tile read: it completes while this whole
-        # group computes
+        start_wins(nxt, t + 1)
+
+    # ---- batched compute phase: all `group` sub-tasks at once ---------- #
+    # (per-sub-task VPU→MXU→VPU chains serialize; batching the one-hot
+    # construction and the three contractions over the group keeps the
+    # MXU pipeline full)
+    for i in range(group):
         pltpu.make_async_copy(
-            poolf_hbm.at[pl.ds(dst_ref[t] * nb, nb)], dtile,
-            sems.at[4]).start()
-
-    @pl.when(t + 1 < ktasks)
-    def _():
-        win_copy(nxt, t + 1, lor_ref, winr, 0).start()
-        win_copy(nxt, t + 1, loc_ref, winc, 2).start()
-
-    win_copy(slot, t, lor_ref, winr, 0).wait()
-    win_copy(slot, t, loc_ref, winc, 2).wait()
-
-    pr = mrow[...].reshape(-1)       # [nb] int32 positions or -1
-    pc = mcrow[...].reshape(-1)
-    iot = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
-    # one-hot gather matrices (invalid slots -> all-zero rows)
-    ponr = ((iot == (pr - pminr_ref[t])[:, None])
-            & (pr[:, None] >= 0)).astype(winr.dtype)
-    ponc = ((iot == (pc - pminc_ref[t])[:, None])
-            & (pc[:, None] >= 0)).astype(winc.dtype)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
-    cmask = (lane < blkn_ref[t]).astype(winc.dtype)
-
-    hi = jax.lax.Precision.HIGHEST
-    r = jnp.dot(ponr, winr[slot], precision=hi,
-                preferred_element_type=jnp.float32)
-    c = jnp.dot(ponc, winc[slot], precision=hi,
-                preferred_element_type=jnp.float32)
-    c = c * cmask.reshape(nb, 1)
-    u = jax.lax.dot_general(r, c, (((1,), (1,)), ((), ())), precision=hi,
-                            preferred_element_type=jnp.float32)
-
-    @pl.when(first)
-    def _():
-        acc[:, :] = u
-
-    @pl.when(jnp.logical_not(first))
-    def _():
-        acc[:, :] += u
-
-    @pl.when(last)
-    def _():
-        # complete the read-modify-write of the destination tile
+            poolf_hbm.at[pl.ds(lor_ref[t * group + i], nb)],
+            winr.at[slot, i], semr.at[slot, i]).wait()
         pltpu.make_async_copy(
-            poolf_hbm.at[pl.ds(dst_ref[t] * nb, nb)], dtile,
-            sems.at[4]).wait()
-        dtile[:, :] -= acc[:, :]
-        cp_out = pltpu.make_async_copy(
-            dtile, out_hbm.at[pl.ds(dst_ref[t] * nb, nb)], sems.at[5])
-        cp_out.start()
-        cp_out.wait()
+            poolf_hbm.at[pl.ds(loc_ref[t * group + i], nb)],
+            winc.at[slot, i], semc.at[slot, i]).wait()
+
+    iot3 = jax.lax.broadcasted_iota(jnp.int32, (group, nb, nb), 2)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (group, nb, 1), 1)
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (group, 1, 1), 0)
+    bkv = jnp.zeros((group, 1, 1), jnp.int32)
+    for i in range(group):                       # SMEM scalars → vector
+        bkv = jnp.where(gidx == i, blkn_ref[t * group + i], bkv)
+    rr3 = relr[...][:, :, None]                  # [G, nb, 1]
+    rc3 = relc[...][:, :, None]
+    f32 = winr.dtype
+    ponr = ((iot3 == rr3) & (rr3 >= 0)).astype(f32)
+    ponc = ((iot3 == rc3) & (rc3 >= 0) & (rowi < bkv)).astype(f32)
+    r3 = jax.lax.dot_general(ponr, winr[slot],
+                             (((2,), (1,)), ((0,), (0,))),
+                             precision=precision,
+                             preferred_element_type=jnp.float32)
+    c3 = jax.lax.dot_general(ponc, winc[slot],
+                             (((2,), (1,)), ((0,), (0,))),
+                             precision=precision,
+                             preferred_element_type=jnp.float32)
+    u3 = jax.lax.dot_general(r3, c3, (((2,), (2,)), ((0,), (0,))),
+                             precision=precision,
+                             preferred_element_type=jnp.float32)
+
+    # ---- sequential accumulate / destination RMW phase ------------------ #
+    for i in range(group):
+        gi = t * group + i
+        first = jnp.logical_or(
+            gi == 0, dst_ref[jnp.maximum(gi - 1, 0)] != dst_ref[gi])
+        last = jnp.logical_or(
+            gi == ktasks - 1,
+            dst_ref[jnp.minimum(gi + 1, ktasks - 1)] != dst_ref[gi])
+
+        @pl.when(first)
+        def _():
+            p = jax.lax.rem(gstate[0], jnp.int32(2))
+            gstate[0] = gstate[0] + jnp.int32(1)
+
+            # slot p last carried the write of group q-2; finish it
+            @pl.when(gstate[1 + p] >= 0)
+            def _():
+                wait_write(p)
+            # kick the destination-tile read: it completes while the
+            # rest of this destination group computes
+            pltpu.make_async_copy(
+                poolf_hbm.at[pl.ds(dst_ref[gi] * nb, nb)], dtile.at[p],
+                semd_r.at[p]).start()
+
+        @pl.when(first)
+        def _():
+            acc[:, :] = u3[i]
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            acc[:, :] += u3[i]
+
+        @pl.when(last)
+        def _():
+            p = jax.lax.rem(gstate[0] - jnp.int32(1), jnp.int32(2))
+            pltpu.make_async_copy(
+                poolf_hbm.at[pl.ds(dst_ref[gi] * nb, nb)], dtile.at[p],
+                semd_r.at[p]).wait()
+            dtile[p] -= acc[:, :]
+            drow = dst_ref[gi] * nb
+            pltpu.make_async_copy(
+                dtile.at[p], out_hbm.at[pl.ds(drow, nb)],
+                semd_w.at[p]).start()
+            gstate[1 + p] = drow
+
+        if i == group - 1:
+            @pl.when(gi == ktasks - 1)
+            def _():
+                # drain both slots' deferred writes before kernel exit
+                for p_ in (0, 1):
+                    @pl.when(gstate[1 + p_] >= 0)
+                    def _(p_=p_):
+                        wait_write(p_)
 
 
-def pallas_apply_updates(poolf, maps, tasks, nb: int,
-                         interpret: bool = False):
+def pallas_apply_updates(poolf, tasks, nb: int, group: int = 8,
+                         interpret: bool = False,
+                         precision=jax.lax.Precision.HIGHEST):
     """Apply sorted update micro-tasks to the flat pool [R, nb].
 
-    ``maps`` is [nmaps(+pad), nb] int32; ``tasks`` holds int32 arrays
-    dst/mr/mc/lor/pminr/loc/pminc/blkn of length K.  The output aliases
-    the input pool; destinations not touched by any task pass through.
+    ``tasks`` holds int32 arrays dst/lor/loc/blkn of length K plus
+    relr/relc [K, nb]; K must be a multiple of ``group`` (pad with
+    dst = a scratch block id and all-invalid rel rows).  The output
+    aliases the input pool; destinations not touched by any task pass
+    through.
     """
     k = len(tasks["dst"])
     if k == 0:
         return poolf
+    assert k % group == 0, "pad the task list to a multiple of group"
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
-        grid=(k,),
+        num_scalar_prefetch=4,
+        grid=(k // group,),
         in_specs=[
-            pl.BlockSpec((1, 1, nb),
-                         lambda t, dst, lor, pminr, loc, pminc, blkn,
-                         mr, mc: (mr[t], _i0(), _i0())),   # row map
-            pl.BlockSpec((1, 1, nb),
-                         lambda t, dst, lor, pminr, loc, pminc, blkn,
-                         mr, mc: (mc[t], _i0(), _i0())),   # col map
+            pl.BlockSpec((group, nb),
+                         lambda t, dst, lor, loc, blkn: (t, _i0())),
+            pl.BlockSpec((group, nb),
+                         lambda t, dst, lor, loc, blkn: (t, _i0())),
             pl.BlockSpec(memory_space=pltpu.ANY),   # poolf (HBM)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((nb, nb), jnp.float32),       # acc
-            pltpu.VMEM((2, nb, nb), jnp.float32),    # row window (dbl buf)
-            pltpu.VMEM((2, nb, nb), jnp.float32),    # col window (dbl buf)
-            pltpu.VMEM((nb, nb), jnp.float32),       # dtile
-            pltpu.SemaphoreType.DMA((6,)),
+            pltpu.VMEM((nb, nb), jnp.float32),           # acc
+            pltpu.VMEM((2, group, nb, nb), jnp.float32),  # row windows
+            pltpu.VMEM((2, group, nb, nb), jnp.float32),  # col windows
+            pltpu.VMEM((2, nb, nb), jnp.float32),        # dtile slots
+            pltpu.SMEM((3,), jnp.int32),                 # gstate
+            pltpu.SemaphoreType.DMA((2, group)),
+            pltpu.SemaphoreType.DMA((2, group)),
+            pltpu.SemaphoreType.DMA((2,)),               # dtile reads
+            pltpu.SemaphoreType.DMA((2,)),               # dtile writes
         ],
     )
     fn = pl.pallas_call(
-        functools.partial(_kernel, nb=nb, ktasks=k),
+        functools.partial(_kernel, nb=nb, group=group, ktasks=k,
+                          precision=precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(poolf.shape, poolf.dtype),
-        input_output_aliases={10: 0},
+        input_output_aliases={6: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )
-    maps3 = maps.reshape(maps.shape[0], 1, maps.shape[1])
-    return fn(tasks["dst"], tasks["lor"], tasks["pminr"], tasks["loc"],
-              tasks["pminc"], tasks["blkn"], tasks["mr"], tasks["mc"],
-              maps3, maps3, poolf)
+    return fn(tasks["dst"], tasks["lor"], tasks["loc"], tasks["blkn"],
+              tasks["relr"], tasks["relc"], poolf)

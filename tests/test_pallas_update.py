@@ -2,29 +2,27 @@
 (interpret mode; real-TPU benchmarking lives in bench_kernels)."""
 
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 
 from spllt_tpu.numeric.pallas_update import pallas_apply_updates
 
 
-def _reference(poolf, maps, tasks, nb):
+def _reference(poolf, tasks, nb):
     out = poolf.copy()
     accs = {}
     for t in range(len(tasks["dst"])):
-        pr = maps[tasks["mr"][t]]
-        pc = maps[tasks["mc"][t]]
-        lor, pminr = tasks["lor"][t], tasks["pminr"][t]
-        loc, pminc = tasks["loc"][t], tasks["pminc"][t]
+        rr = tasks["relr"][t]
+        rc = tasks["relc"][t]
+        lor, loc = tasks["lor"][t], tasks["loc"][t]
         blkn = tasks["blkn"][t]
         r = np.zeros((nb, nb), np.float32)
         c = np.zeros((nb, nb), np.float32)
         for i in range(nb):
-            if pr[i] >= 0:
-                r[i] = poolf[lor + (pr[i] - pminr)]
-            if pc[i] >= 0 and i < blkn:
-                c[i] = poolf[loc + (pc[i] - pminc)]
+            if rr[i] >= 0:
+                r[i] = poolf[lor + rr[i]]
+            if rc[i] >= 0 and i < blkn:
+                c[i] = poolf[loc + rc[i]]
         accs.setdefault(int(tasks["dst"][t]),
                         np.zeros((nb, nb), np.float32))
         accs[int(tasks["dst"][t])] += r @ c.T
@@ -34,34 +32,31 @@ def _reference(poolf, maps, tasks, nb):
 
 
 def test_pallas_update_matches_reference():
-    nb, nblk = 8, 12
+    nb, nblk, group = 8, 12, 2
     rng = np.random.default_rng(0)
     rows = nblk * nb
     poolf = rng.standard_normal((rows, nb)).astype(np.float32)
-    maps = np.full((5, nb), -1, dtype=np.int32)
-    # map 0: positions 3..10, map 1: sparse (span < nb), map 2: full range
-    maps[0, :6] = np.arange(3, 9)
-    maps[1, [0, 2, 5]] = [4, 7, 9]
-    maps[2] = np.arange(nb)
+    rel = np.full((4, nb), -1, dtype=np.int32)
+    rel[0, :6] = np.arange(6)          # dense prefix
+    rel[1, [0, 2, 5]] = [1, 4, 6]      # sparse
+    rel[2] = np.arange(nb)             # identity
+    rel[3, 1:5] = [0, 2, 3, 7]
     tasks = {
-        # two tasks share dst=4 (accumulation path), one task dst=7;
-        # row and col windows start at different flat rows
-        "dst": np.asarray([4, 4, 7], np.int32),
-        "mr": np.asarray([0, 2, 1], np.int32),
-        "mc": np.asarray([1, 1, 0], np.int32),
-        "lor": np.asarray([3, 8, 20], np.int32),
-        "pminr": np.asarray([3, 0, 4], np.int32),
-        "loc": np.asarray([4, 12, 27], np.int32),
-        "pminc": np.asarray([4, 4, 3], np.int32),
-        "blkn": np.asarray([nb, 5, nb], np.int32),
+        # tasks 0-2 share dst=4 (accumulation crosses the group-of-2
+        # grid-step boundary), task 3 is a pad-style no-op group
+        "dst": np.asarray([4, 4, 4, 7], np.int32),
+        "lor": np.asarray([3, 8, 17, 20], np.int32),
+        "loc": np.asarray([4, 12, 40, 27], np.int32),
+        "blkn": np.asarray([nb, 5, nb, nb], np.int32),
+        "relr": rel[[0, 2, 3, 1]],
+        "relc": rel[[1, 1, 2, 0]],
     }
-    ref = _reference(poolf, maps, tasks, nb)
+    ref = _reference(poolf, tasks, nb)
     got = np.asarray(pallas_apply_updates(
-        jnp.asarray(poolf), jnp.asarray(maps), tasks, nb=nb,
-        interpret=True))
+        jnp.asarray(poolf), tasks, nb=nb, group=group, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
     # untouched tiles pass through unchanged
-    np.testing.assert_array_equal(got[:4 * nb], poolf[:4 * nb])
+    np.testing.assert_array_equal(got[:3 * nb], poolf[:3 * nb])
 
 
 def test_scan_executor_pallas_route():
@@ -88,6 +83,7 @@ def test_scan_executor_pallas_route():
     for b in ex.buckets:
         if "pu_dst" in b.tables:
             assert b.tables["updbt_dst"].shape[1] == 0
+            assert b.tables["pu_dst"].shape[1] % ex._upd_group == 0
     pool_f32 = np.asarray(np_.pool)[:-1]
     np.testing.assert_allclose(pool_f32, np.asarray(n0.pool)[:len(pool_f32)],
                                rtol=2e-4, atol=2e-4)
