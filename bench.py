@@ -93,14 +93,39 @@ def main() -> int:
     t_compile = time.perf_counter() - t0
     print(f"# first run (compile+exec): {t_compile:.1f}s", file=sys.stderr)
 
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        pool = run(rep=i + 1)
-        times.append(time.perf_counter() - t0)
-        print(f"# rep {i}: {times[-1]:.3f}s", file=sys.stderr)
+    # Timed reps are CHAINED device-side with ONE final fetch: the axon
+    # relay costs ~60 ms per device→host fetch, which a per-rep fetch
+    # would charge to the factorization.  Each chained rep still truly
+    # executes — the carry scalar (data-dependent on the factored pool)
+    # seeds the next rep's value perturbation, so nothing is memoized or
+    # dead-code-eliminated.
+    import jax
+
+    jvalues = jnp.asarray(values)
+
+    @jax.jit
+    def chain_step(v, s):
+        vp = v * (1.0 + 1e-7 * s)
+        pool = assemble_jax(plan, vp, jnp.float32)
+        if dense_ex is not None:
+            pool = dense_ex(pool, vp)
+        pool, notpos = ex._fn(pool, ex.maps, ex.blk_n, ex.srcvec,
+                              ex._bucket_tables)
+        return (s + 1.0 + notpos.astype(jnp.float32)
+                + pool[0, 0, 0] * jnp.float32(1e-30))
+
+    s = chain_step(jvalues, jnp.float32(1.0))
+    float(s)   # compile + first exec of the chained step
+    reps = int(os.environ.get("BENCH_REPS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        s = chain_step(jvalues, s)
+    s_final = float(s)   # single fetch bounds the whole chain
+    t_fact = (time.perf_counter() - t0) / reps
+    assert abs(s_final - (1.0 + 1.0 + reps)) < 0.5, \
+        f"chain carry mismatch (notpos?): {s_final}"
+    print(f"# chained x{reps}: {t_fact*1e3:.1f} ms/rep", file=sys.stderr)
     pool = run(rep=0)  # factor the unperturbed values for the solve check
-    t_fact = min(times)
     gflops = symb.inform.num_flops / t_fact / 1e9
 
     # correctness guard: refined solve must reach f64-level backward error
