@@ -2,8 +2,10 @@
 
 Times the scan executor with each phase (pallas-updbt / xla-updbt / syrk /
 potrf / trsm) dropped in turn; the delta against the full run attributes
-wall time per phase.  Numbers are honest on the axon relay: each timed rep
-perturbs inputs and forces a device->host fetch of the in-graph flag.
+wall time per phase.  Timing is honest on the axon relay: reps chain
+device-side through a carry scalar (data-dependent on the factored pool)
+and ONE final fetch bounds the chain — a per-rep fetch costs ~60 ms of
+relay latency.
 
     python scripts/profile_factor.py [--m 32] [--nb 128] [--nemin 128]
 """
@@ -26,11 +28,11 @@ def main(argv=None) -> int:
     ap.add_argument("--m", type=int, default=32)
     ap.add_argument("--nb", type=int, default=128)
     ap.add_argument("--nemin", type=int, default=128)
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--pallas", default="auto")
-    ap.add_argument("--hmax", type=int, default=2048)
     args = ap.parse_args(argv)
 
+    import jax
     import jax.numpy as jnp
 
     from spllt_tpu import Options, analyse, poisson3d
@@ -50,28 +52,29 @@ def main(argv=None) -> int:
     print(f"# n={symb.n} nnzL={symb.inform.num_factor} "
           f"flops={symb.inform.num_flops:.3e} levels={fplan.nlevels} "
           f"tasks={fplan.num_tasks}", file=sys.stderr)
-    values = symb.a_perm.values
+    values = jnp.asarray(symb.a_perm.values)
 
     def timed(skip):
         ex = ScanFactorExecutor(fplan, dtype=jnp.float32,
                                 matmul_precision="highest",
                                 pallas_updates=args.pallas,
-                                hmax=args.hmax, _skip=frozenset(skip))
+                                _skip=frozenset(skip))
 
-        def run(rep):
-            v = values * (1.0 + 1e-7 * rep)
-            pool = assemble_jax(plan, v, jnp.float32)
-            pool, notpos = ex(pool)
-            bool(notpos)   # force fetch
-            return pool
+        @jax.jit
+        def chain_step(v, s):
+            pool = assemble_jax(plan, v * (1.0 + 1e-7 * s), jnp.float32)
+            pool, notpos = ex._fn(pool, ex.maps, ex.blk_n, ex.srcvec,
+                                  ex._bucket_tables)
+            return (s + 1.0 + notpos.astype(jnp.float32)
+                    + pool[0, 0, 0] * jnp.float32(1e-30))
 
-        run(0)  # compile
-        ts = []
-        for i in range(args.reps):
-            t0 = time.perf_counter()
-            run(i + 1)
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
+        s = chain_step(values, jnp.float32(0.0))
+        float(s)  # compile + first exec
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            s = chain_step(values, s)
+        float(s)
+        return (time.perf_counter() - t0) / args.reps
 
     t_full = timed(())
     print(f"full: {t_full*1e3:8.1f} ms "

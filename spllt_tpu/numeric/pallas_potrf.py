@@ -103,7 +103,7 @@ def _kernel(kv_ref, t_ref, o_ref, s_ref, *, nb, pb=8, group):
 
 
 def pallas_potrf_batch(tiles, kvec, nb: int, group: int = 32,
-                       interpret: bool = False):
+                       pb: int | None = None, interpret: bool = False):
     """Batched masked potrf of tiles [K, nb, nb]; kvec [K] column counts.
 
     K must be a multiple of ``group`` (pad with kvec=0 tiles — their
@@ -111,6 +111,11 @@ def pallas_potrf_batch(tiles, kvec, nb: int, group: int = 32,
     """
     k = tiles.shape[0]
     assert k % group == 0, "pad the batch to a multiple of group"
+    if pb is None:
+        # measured on v5e at nb=128: pb=32 beats 8/16/64 (fewer panel
+        # slices/trailing updates without bloating the per-scalar-step
+        # working set); must divide nb
+        pb = next((c for c in (32, 16, 8) if nb % c == 0), nb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(k // group,),
@@ -121,7 +126,7 @@ def pallas_potrf_batch(tiles, kvec, nb: int, group: int = 32,
         scratch_shapes=[pltpu.VMEM((group, nb, nb), jnp.float32)],
     )
     fn = pl.pallas_call(
-        functools.partial(_kernel, nb=nb, group=group),
+        functools.partial(_kernel, nb=nb, group=group, pb=pb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(tiles.shape, tiles.dtype),
         interpret=interpret,

@@ -80,7 +80,7 @@ def _kernel(kv_ref, d_ref, x_ref, o_ref, r_ref, *, nb, pb=8, group):
 
 
 def pallas_trsm_batch(diag_tiles, dst_tiles, kvec, nb: int, group: int = 4,
-                      interpret: bool = False):
+                      pb: int | None = None, interpret: bool = False):
     """Batched dst·L^{-T} with columns >= kvec zeroed.
 
     K must be a multiple of ``group`` (pad with kvec=0 → zero output,
@@ -88,6 +88,9 @@ def pallas_trsm_batch(diag_tiles, dst_tiles, kvec, nb: int, group: int = 4,
     """
     k = dst_tiles.shape[0]
     assert k % group == 0, "pad the batch to a multiple of group"
+    if pb is None:
+        # same panel-width tuning as pallas_potrf (measured on v5e)
+        pb = next((c for c in (32, 16, 8) if nb % c == 0), nb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(k // group,),
@@ -99,7 +102,7 @@ def pallas_trsm_batch(diag_tiles, dst_tiles, kvec, nb: int, group: int = 4,
         scratch_shapes=[pltpu.VMEM((group, nb, nb), jnp.float32)],
     )
     fn = pl.pallas_call(
-        functools.partial(_kernel, nb=nb, group=group),
+        functools.partial(_kernel, nb=nb, group=group, pb=pb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(dst_tiles.shape, dst_tiles.dtype),
         interpret=interpret,
