@@ -30,6 +30,9 @@ def main(argv=None) -> int:
     ap.add_argument("--nemin", type=int, default=128)
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--pallas", default="auto")
+    ap.add_argument("--group", type=int, default=None)
+    ap.add_argument("--precision", default="highest")
+    ap.add_argument("--full-only", action="store_true")
     args = ap.parse_args(argv)
 
     import jax
@@ -46,7 +49,7 @@ def main(argv=None) -> int:
     a = poisson3d(m)
     opts = Options(ordering="nd-grid", grid_shape=(m,) * 3, nb=args.nb,
                    nemin=args.nemin, mode="batched", dtype="float32",
-                   refine=2, precision="highest", prune_tree=False)
+                   refine=2, precision=args.precision, prune_tree=False)
     symb = analyse(a, opts)
     plan, fplan, _ = _plans(symb, opts)
     print(f"# n={symb.n} nnzL={symb.inform.num_factor} "
@@ -56,8 +59,9 @@ def main(argv=None) -> int:
 
     def timed(skip):
         ex = ScanFactorExecutor(fplan, dtype=jnp.float32,
-                                matmul_precision="highest",
+                                matmul_precision=args.precision,
                                 pallas_updates=args.pallas,
+                                upd_group=args.group,
                                 _skip=frozenset(skip))
 
         @jax.jit
@@ -79,6 +83,8 @@ def main(argv=None) -> int:
     t_full = timed(())
     print(f"full: {t_full*1e3:8.1f} ms "
           f"({symb.inform.num_flops/t_full/1e9:.1f} GFLOP/s)")
+    if args.full_only:
+        return 0
     for ph in ("pallas", "updbt", "syrk", "potrf", "trsm"):
         t = timed((ph,))
         print(f"w/o {ph:7s}: {t*1e3:8.1f} ms   -> {ph} ~ "

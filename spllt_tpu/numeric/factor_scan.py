@@ -54,7 +54,8 @@ class ScanFactorExecutor:
 
     def __init__(self, fp, dtype=jnp.float32, matmul_precision="highest",
                  alpha: float = 1.6, pallas_updates: str = "auto",
-                 hmax: int = 2048, _skip: frozenset = frozenset()):
+                 hmax: int = 2048, upd_group: int | None = None,
+                 _skip: frozenset = frozenset()):
         self._skip = _skip      # phase names to drop (timing diagnostics)
         self.fp = fp
         self.nb = fp.nb
@@ -92,8 +93,16 @@ class ScanFactorExecutor:
 
         # ---- pallas fused-update routing (per-bucket static choice) ---- #
         self.pool_rows = (fp.nblocks + 1) * fp.nb
-        if np.dtype(dtype) != np.float32 or matmul_precision != "highest":
-            pallas_updates = "off"   # kernel is f32/highest only
+        if np.dtype(dtype) != np.float32 \
+                or matmul_precision not in ("highest", "high"):
+            pallas_updates = "off"   # kernels are f32 only; 'default'
+            # (single bf16 pass) is too lossy for the one-hot gathers
+        # MXU pass count inside the pallas kernels: 'high' = bf16x3
+        # (~f32 accuracy, half the passes of 'highest') pairs with
+        # iterative refinement for the mixed-precision factorization
+        self._prec_enum = (jax.lax.Precision.HIGHEST
+                           if matmul_precision == "highest"
+                           else jax.lax.Precision.HIGH)
         self._interpret = _on_cpu()
         if not self._interpret and fp.nb % 128 != 0:
             # Mosaic lane tiling: the (1, nb) map-row DMA slices must be
@@ -103,7 +112,9 @@ class ScanFactorExecutor:
         self.pallas_mode = pallas_updates
         # micro-tasks per grid step (amortizes the per-step sequencing
         # floor); interpret mode unrolls the group per call — keep small
-        self._upd_group = 2 if self._interpret else 8
+        if upd_group is None:
+            upd_group = 2 if self._interpret else 8
+        self._upd_group = upd_group
         nmaps = fp.maps.shape[0]
         maps_ext = np.concatenate(
             [fp.maps, np.full((1, fp.nb), -1, fp.maps.dtype)], axis=0)
@@ -226,7 +237,7 @@ class ScanFactorExecutor:
                                      "relr", "relc")}
                     poolf = pallas_apply_updates(
                         poolf, pt, nb=nb, group=self._upd_group,
-                        interpret=interp)
+                        interpret=interp, precision=self._prec_enum)
                 pool = poolf.reshape(pool.shape)
             # ---- updbt (width-fused) ----
             if "updbt_dst" in tb and tb["updbt_dst"].shape[0] > 0 \
@@ -266,7 +277,8 @@ class ScanFactorExecutor:
                 if self._pallas_potrf:
                     out = pallas_potrf_batch(pool[blk], tb["potrf_k"], nb,
                                              group=self._potrf_group,
-                                             interpret=interp)
+                                             interpret=interp,
+                                             precision=self._prec_enum)
                 else:
                     out = _potrf_batch_blocked(pool[blk], tb["potrf_k"],
                                                nb, precision=prec)
@@ -278,7 +290,7 @@ class ScanFactorExecutor:
                     out = pallas_trsm_batch(
                         pool[tb["trsm_diag"]], pool[tb["trsm_dst"]],
                         tb["trsm_k"], nb, group=self._trsm_group,
-                        interpret=interp)
+                        interpret=interp, precision=self._prec_enum)
                 else:
                     out = _trsm_batch(pool[tb["trsm_diag"]],
                                       pool[tb["trsm_dst"]],

@@ -41,7 +41,8 @@ def _i0():
     return jnp.int32(0)
 
 
-def _kernel(kv_ref, t_ref, o_ref, s_ref, *, nb, pb=8, group):
+def _kernel(kv_ref, t_ref, o_ref, s_ref, *, nb, pb=8, group,
+            precision=jax.lax.Precision.HIGHEST):
     """Row-oriented (upper/Uᵀ) panel elimination, fully static.
 
     Per pb-row panel: pb scalar elimination steps touching only the
@@ -56,6 +57,9 @@ def _kernel(kv_ref, t_ref, o_ref, s_ref, *, nb, pb=8, group):
     kv = jnp.zeros((group, 1, 1), jnp.int32)     # [G, 1, 1] from SMEM
     for i in range(group):                       # (1D→3D vector reshape
         kv = jnp.where(gi == i, kv_ref[g0 + i], kv)   # unsupported)
+    kvmax = kv_ref[g0]                           # scalar group max: panels
+    for i in range(1, group):                    # past it are skipped below
+        kvmax = jnp.maximum(kvmax, kv_ref[g0 + i])
     rowi = jax.lax.broadcasted_iota(jnp.int32, (1, nb, nb), 1)
     coli = jax.lax.broadcasted_iota(jnp.int32, (1, nb, nb), 2)
     st = jnp.swapaxes(s0, 1, 2)
@@ -72,38 +76,46 @@ def _kernel(kv_ref, t_ref, o_ref, s_ref, *, nb, pb=8, group):
     lane = coli[:, :1, :]                        # [1, 1, nb]
     sub8 = jax.lax.broadcasted_iota(jnp.int32, (1, pb, 1), 1)
     for p0 in range(0, nb, pb):
-        panel = s_ref[:, p0:p0 + pb, :]          # [G, pb, nb]
-        for jj in range(pb):
-            j = p0 + jj
-            rowjj = panel[:, jj:jj + 1, :]       # [G, 1, nb]
-            dj = jnp.sum(rowjj * (lane == j).astype(f32), axis=2,
-                         keepdims=True)          # [G, 1, 1]
-            valid = (j < kv).astype(f32)
-            inv = jax.lax.rsqrt(jnp.where(j < kv, dj, jnp.ones((), f32)))
-            urow = rowjj * inv * (lane >= j).astype(f32) * valid
-            # multipliers of the remaining panel rows (their col-j entry)
-            mult = jnp.sum(panel * (lane == j).astype(f32), axis=2,
-                           keepdims=True) * inv  # [G, pb, 1] = U[j, rows]
-            below = (sub8 > jj).astype(f32)
-            panel = (panel * (1.0 - (sub8 == jj).astype(f32))
-                     + urow * (sub8 == jj).astype(f32)
-                     - mult * urow * below)
-        s_ref[:, p0:p0 + pb, :] = panel
-        # trailing rows: S -= Upanelᵀ·Upanel restricted to rows > panel
-        if p0 + pb < nb:
-            upd = jax.lax.dot_general(
-                panel, panel, (((1,), (1,)), ((0,), (0,))),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=f32)      # [G, nb, nb]
-            s = s_ref[...]
-            s_ref[...] = jnp.where(rowi >= p0 + pb, s - upd, s)
+        # panels past the group's widest column count do nothing: rows
+        # j >= kv are zeroed by the valid mask and the output mask reads
+        # only s_ref rows < kv <= kvmax, all produced by earlier panels.
+        # Leaf supernodes (kv << nb) skip most of the elimination.
+        @pl.when(p0 < kvmax)
+        def _(p0=p0):
+            panel = s_ref[:, p0:p0 + pb, :]      # [G, pb, nb]
+            for jj in range(pb):
+                j = p0 + jj
+                rowjj = panel[:, jj:jj + 1, :]   # [G, 1, nb]
+                dj = jnp.sum(rowjj * (lane == j).astype(f32), axis=2,
+                             keepdims=True)      # [G, 1, 1]
+                valid = (j < kv).astype(f32)
+                inv = jax.lax.rsqrt(
+                    jnp.where(j < kv, dj, jnp.ones((), f32)))
+                urow = rowjj * inv * (lane >= j).astype(f32) * valid
+                # multipliers of the remaining panel rows (col-j entry)
+                mult = jnp.sum(panel * (lane == j).astype(f32), axis=2,
+                               keepdims=True) * inv  # [G, pb, 1]
+                below = (sub8 > jj).astype(f32)
+                panel = (panel * (1.0 - (sub8 == jj).astype(f32))
+                         + urow * (sub8 == jj).astype(f32)
+                         - mult * urow * below)
+            s_ref[:, p0:p0 + pb, :] = panel
+            # trailing rows: S -= Upanelᵀ·Upanel restricted to rows > panel
+            if p0 + pb < nb:
+                upd = jax.lax.dot_general(
+                    panel, panel, (((1,), (1,)), ((0,), (0,))),
+                    precision=precision,
+                    preferred_element_type=f32)  # [G, nb, nb]
+                s = s_ref[...]
+                s_ref[...] = jnp.where(rowi >= p0 + pb, s - upd, s)
     # lower output [[L, 0], [B·L^{-T}, 0]]
     out = jnp.swapaxes(s_ref[...], 1, 2)
     o_ref[...] = out * ((coli < kv) & (rowi >= coli)).astype(f32)
 
 
 def pallas_potrf_batch(tiles, kvec, nb: int, group: int = 32,
-                       pb: int | None = None, interpret: bool = False):
+                       pb: int | None = None, interpret: bool = False,
+                       precision=jax.lax.Precision.HIGHEST):
     """Batched masked potrf of tiles [K, nb, nb]; kvec [K] column counts.
 
     K must be a multiple of ``group`` (pad with kvec=0 tiles — their
@@ -126,7 +138,8 @@ def pallas_potrf_batch(tiles, kvec, nb: int, group: int = 32,
         scratch_shapes=[pltpu.VMEM((group, nb, nb), jnp.float32)],
     )
     fn = pl.pallas_call(
-        functools.partial(_kernel, nb=nb, group=group, pb=pb),
+        functools.partial(_kernel, nb=nb, group=group, pb=pb,
+                          precision=precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(tiles.shape, tiles.dtype),
         interpret=interpret,

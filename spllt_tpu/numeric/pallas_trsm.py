@@ -40,7 +40,8 @@ def _i0():
     return jnp.int32(0)
 
 
-def _kernel(kv_ref, d_ref, x_ref, o_ref, r_ref, *, nb, pb=8, group):
+def _kernel(kv_ref, d_ref, x_ref, o_ref, r_ref, *, nb, pb=8, group,
+            precision=jax.lax.Precision.HIGHEST):
     lmat = d_ref[...]                            # [G, nb, nb] diag tiles
     y = jnp.swapaxes(x_ref[...], 1, 2)           # dstᵀ
     g0 = pl.program_id(0) * group
@@ -52,35 +53,43 @@ def _kernel(kv_ref, d_ref, x_ref, o_ref, r_ref, *, nb, pb=8, group):
     sub8 = jax.lax.broadcasted_iota(jnp.int32, (1, pb, 1), 1)
     f32 = lmat.dtype
     r_ref[...] = jnp.zeros_like(lmat)
-    hi = jax.lax.Precision.HIGHEST
+    hi = precision
+    kvmax = kv_ref[g0]                           # scalar group max: rows
+    for i in range(1, group):                    # past it solve to zero
+        kvmax = jnp.maximum(kvmax, kv_ref[g0 + i])
     for p0 in range(0, nb, pb):
-        lp = lmat[:, p0:p0 + pb, :]              # [G, pb, nb] L row panel
-        # eliminate the finished rows: acc = yᵀ_panel − L[p,:]·R
-        acc = (y[:, p0:p0 + pb, :]
-               - jax.lax.dot_general(lp, r_ref[...],
-                                     (((2,), (1,)), ((0,), (0,))),
-                                     precision=hi,
-                                     preferred_element_type=f32))
-        for jj in range(pb):
-            j = p0 + jj
-            lrow = lp[:, jj:jj + 1, :]           # [G, 1, nb]
-            piv = jnp.sum(lrow * (coli == j).astype(f32), axis=2,
-                          keepdims=True)         # [G, 1, 1]
-            valid = (j < kv).astype(f32)
-            inv = 1.0 / jnp.where(j < kv, piv, jnp.ones((), f32))
-            row = acc[:, jj:jj + 1, :] * inv * valid
-            # multipliers of the remaining panel rows: L[p0+i, j]
-            lcol = jnp.sum(lp * (coli == j).astype(f32), axis=2,
-                           keepdims=True)        # [G, pb, 1]
-            acc = (acc * (1.0 - (sub8 == jj).astype(f32))
-                   + row * (sub8 == jj).astype(f32)
-                   - lcol * row * (sub8 > jj).astype(f32))
-        r_ref[:, p0:p0 + pb, :] = acc
+        # panels past the group's widest kv produce all-zero rows (valid
+        # mask) and r_ref is zero-initialized — skip them entirely
+        @pl.when(p0 < kvmax)
+        def _(p0=p0):
+            lp = lmat[:, p0:p0 + pb, :]          # [G, pb, nb] L row panel
+            # eliminate the finished rows: acc = yᵀ_panel − L[p,:]·R
+            acc = (y[:, p0:p0 + pb, :]
+                   - jax.lax.dot_general(lp, r_ref[...],
+                                         (((2,), (1,)), ((0,), (0,))),
+                                         precision=hi,
+                                         preferred_element_type=f32))
+            for jj in range(pb):
+                j = p0 + jj
+                lrow = lp[:, jj:jj + 1, :]       # [G, 1, nb]
+                piv = jnp.sum(lrow * (coli == j).astype(f32), axis=2,
+                              keepdims=True)     # [G, 1, 1]
+                valid = (j < kv).astype(f32)
+                inv = 1.0 / jnp.where(j < kv, piv, jnp.ones((), f32))
+                row = acc[:, jj:jj + 1, :] * inv * valid
+                # multipliers of the remaining panel rows: L[p0+i, j]
+                lcol = jnp.sum(lp * (coli == j).astype(f32), axis=2,
+                               keepdims=True)    # [G, pb, 1]
+                acc = (acc * (1.0 - (sub8 == jj).astype(f32))
+                       + row * (sub8 == jj).astype(f32)
+                       - lcol * row * (sub8 > jj).astype(f32))
+            r_ref[:, p0:p0 + pb, :] = acc
     o_ref[...] = jnp.swapaxes(r_ref[...], 1, 2)
 
 
 def pallas_trsm_batch(diag_tiles, dst_tiles, kvec, nb: int, group: int = 4,
-                      pb: int | None = None, interpret: bool = False):
+                      pb: int | None = None, interpret: bool = False,
+                      precision=jax.lax.Precision.HIGHEST):
     """Batched dst·L^{-T} with columns >= kvec zeroed.
 
     K must be a multiple of ``group`` (pad with kvec=0 → zero output,
@@ -102,7 +111,8 @@ def pallas_trsm_batch(diag_tiles, dst_tiles, kvec, nb: int, group: int = 4,
         scratch_shapes=[pltpu.VMEM((group, nb, nb), jnp.float32)],
     )
     fn = pl.pallas_call(
-        functools.partial(_kernel, nb=nb, group=group, pb=pb),
+        functools.partial(_kernel, nb=nb, group=group, pb=pb,
+                          precision=precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(dst_tiles.shape, dst_tiles.dtype),
         interpret=interpret,

@@ -244,6 +244,12 @@ def build_factor_plan(symb, plan: BlockPlan, coarse=None) -> FactorPlan:
         if tl:
             nlevels = max(nlevels, max(t[0] for t in tl))
 
+    # order potrf/trsm within each level by column count (descending) so
+    # the pallas kernels' per-group kvmax panel skipping sees groups of
+    # similar width — leaf tiles (kv << nb) then run 1 panel, not nb/pb
+    potrf.sort(key=lambda t: (t[0], -t[2]))
+    trsm.sort(key=lambda t: (t[0], -t[3]))
+
     def cols(tl, k):
         return [t[k] for t in tl]
 
