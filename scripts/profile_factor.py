@@ -33,6 +33,7 @@ def main(argv=None) -> int:
     ap.add_argument("--group", type=int, default=None)
     ap.add_argument("--precision", default="highest")
     ap.add_argument("--full-only", action="store_true")
+    ap.add_argument("--mega", action="store_true")
     args = ap.parse_args(argv)
 
     import jax
@@ -58,19 +59,38 @@ def main(argv=None) -> int:
     values = jnp.asarray(symb.a_perm.values)
 
     def timed(skip):
-        ex = ScanFactorExecutor(fplan, dtype=jnp.float32,
-                                matmul_precision=args.precision,
-                                pallas_updates=args.pallas,
-                                upd_group=args.group,
-                                _skip=frozenset(skip))
+        if args.mega:
+            from spllt_tpu.numeric.megakernel import MegaFactorExecutor
 
-        @jax.jit
-        def chain_step(v, s):
-            pool = assemble_jax(plan, v * (1.0 + 1e-7 * s), jnp.float32)
-            pool, notpos = ex._fn(pool, ex.maps, ex.blk_n, ex.srcvec,
-                                  ex._bucket_tables)
-            return (s + 1.0 + notpos.astype(jnp.float32)
-                    + pool[0, 0, 0] * jnp.float32(1e-30))
+            ex = MegaFactorExecutor(fplan, dtype=jnp.float32,
+                                    matmul_precision=args.precision,
+                                    group=args.group)
+            nsteps = sum(len(c["kind"]) for c in ex.chunks)
+            print(f"# mega: chunks={len(ex.chunks)} steps={nsteps}",
+                  file=sys.stderr)
+
+            @jax.jit
+            def chain_step(v, s):
+                pool = assemble_jax(plan, v * (1.0 + 1e-7 * s),
+                                    jnp.float32)
+                pool, notpos = ex._fn(pool)
+                return (s + 1.0 + notpos.astype(jnp.float32)
+                        + pool[0, 0, 0] * jnp.float32(1e-30))
+        else:
+            ex = ScanFactorExecutor(fplan, dtype=jnp.float32,
+                                    matmul_precision=args.precision,
+                                    pallas_updates=args.pallas,
+                                    upd_group=args.group,
+                                    _skip=frozenset(skip))
+
+            @jax.jit
+            def chain_step(v, s):
+                pool = assemble_jax(plan, v * (1.0 + 1e-7 * s),
+                                    jnp.float32)
+                pool, notpos = ex._fn(pool, ex.maps, ex.blk_n, ex.srcvec,
+                                      ex._bucket_tables)
+                return (s + 1.0 + notpos.astype(jnp.float32)
+                        + pool[0, 0, 0] * jnp.float32(1e-30))
 
         s = chain_step(values, jnp.float32(0.0))
         float(s)  # compile + first exec

@@ -103,14 +103,23 @@ def factor(symb: SymbolicFactor, a: CscMatrix | None = None,
             from .numeric.subtree import DenseSubtreeExecutor
 
             pool = DenseSubtreeExecutor(fplan, dtype=dtype)(pool, values)
-        if options.schedule == "scan":
+        ex = None
+        if options.schedule == "mega":
+            try:
+                from .numeric.megakernel import MegaFactorExecutor
+
+                ex = MegaFactorExecutor(fplan, dtype=dtype,
+                                        matmul_precision=options.precision)
+            except ValueError:
+                ex = None   # ineligible (dtype/precision/nb): fall back
+        if ex is None and options.schedule in ("scan", "mega"):
             from .numeric.factor_scan import ScanFactorExecutor
 
             ex = ScanFactorExecutor(fplan, dtype=dtype,
                                     matmul_precision=options.precision,
                                     pallas_updates=options.pallas_updates,
                                     hmax=options.pallas_hmax)
-        else:
+        elif ex is None:
             from .numeric.factor import FactorExecutor
 
             ex = FactorExecutor(fplan, dtype=dtype,
@@ -156,7 +165,7 @@ def solve(num: NumericFactor, b: np.ndarray, job: int = 0,
 
     if (job == 0 and refine > 0 and num.options.refine_device
             and num.options.mode == "batched"
-            and num.options.schedule == "scan"
+            and num.options.schedule in ("scan", "mega")
             and _accelerator_run()):
         x = _solve_refined_device(num, bb, refine)
         return x[:, 0] if one_d else x

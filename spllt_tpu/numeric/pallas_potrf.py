@@ -41,9 +41,23 @@ def _i0():
     return jnp.int32(0)
 
 
-def _kernel(kv_ref, t_ref, o_ref, s_ref, *, nb, pb=8, group,
-            precision=jax.lax.Precision.HIGHEST):
+def scalars_to_vec(vals, group):
+    """[G, 1, 1] int32 vector from ``group`` SMEM scalars (1D→3D vector
+    reshapes are unsupported in Mosaic, so build by masked selects)."""
+    gi = jax.lax.broadcasted_iota(jnp.int32, (group, 1, 1), 0)
+    kv = jnp.zeros((group, 1, 1), jnp.int32)
+    for i, v in enumerate(vals):
+        kv = jnp.where(gi == i, v, kv)
+    return kv
+
+
+def potrf_tiles_body(s_ref, s0, kv, kvmax, *, nb, pb, group,
+                     precision=jax.lax.Precision.HIGHEST):
     """Row-oriented (upper/Uᵀ) panel elimination, fully static.
+
+    ``s0`` [G, nb, nb] input tiles, ``kv`` [G, 1, 1] int32 column counts,
+    ``kvmax`` scalar max over the group, ``s_ref`` a [G, nb, nb] VMEM
+    scratch.  Returns the masked lower output [[L, 0], [B·L^{-T}, 0]].
 
     Per pb-row panel: pb scalar elimination steps touching only the
     [G, pb, nb] panel slice (static sublane slices, lane masks from
@@ -51,15 +65,6 @@ def _kernel(kv_ref, t_ref, o_ref, s_ref, *, nb, pb=8, group,
     MXU contraction updates the trailing rows.  Final transpose + mask
     emits the lower form.
     """
-    s0 = t_ref[...]                              # [G, nb, nb]
-    g0 = pl.program_id(0) * group
-    gi = jax.lax.broadcasted_iota(jnp.int32, (group, 1, 1), 0)
-    kv = jnp.zeros((group, 1, 1), jnp.int32)     # [G, 1, 1] from SMEM
-    for i in range(group):                       # (1D→3D vector reshape
-        kv = jnp.where(gi == i, kv_ref[g0 + i], kv)   # unsupported)
-    kvmax = kv_ref[g0]                           # scalar group max: panels
-    for i in range(1, group):                    # past it are skipped below
-        kvmax = jnp.maximum(kvmax, kv_ref[g0 + i])
     rowi = jax.lax.broadcasted_iota(jnp.int32, (1, nb, nb), 1)
     coli = jax.lax.broadcasted_iota(jnp.int32, (1, nb, nb), 2)
     st = jnp.swapaxes(s0, 1, 2)
@@ -110,7 +115,18 @@ def _kernel(kv_ref, t_ref, o_ref, s_ref, *, nb, pb=8, group,
                 s_ref[...] = jnp.where(rowi >= p0 + pb, s - upd, s)
     # lower output [[L, 0], [B·L^{-T}, 0]]
     out = jnp.swapaxes(s_ref[...], 1, 2)
-    o_ref[...] = out * ((coli < kv) & (rowi >= coli)).astype(f32)
+    return out * ((coli < kv) & (rowi >= coli)).astype(f32)
+
+
+def _kernel(kv_ref, t_ref, o_ref, s_ref, *, nb, pb=8, group,
+            precision=jax.lax.Precision.HIGHEST):
+    g0 = pl.program_id(0) * group
+    kv = scalars_to_vec([kv_ref[g0 + i] for i in range(group)], group)
+    kvmax = kv_ref[g0]                           # scalar group max: panels
+    for i in range(1, group):                    # past it are skipped
+        kvmax = jnp.maximum(kvmax, kv_ref[g0 + i])
+    o_ref[...] = potrf_tiles_body(s_ref, t_ref[...], kv, kvmax, nb=nb,
+                                  pb=pb, group=group, precision=precision)
 
 
 def pallas_potrf_batch(tiles, kvec, nb: int, group: int = 32,

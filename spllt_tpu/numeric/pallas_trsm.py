@@ -40,23 +40,18 @@ def _i0():
     return jnp.int32(0)
 
 
-def _kernel(kv_ref, d_ref, x_ref, o_ref, r_ref, *, nb, pb=8, group,
-            precision=jax.lax.Precision.HIGHEST):
-    lmat = d_ref[...]                            # [G, nb, nb] diag tiles
-    y = jnp.swapaxes(x_ref[...], 1, 2)           # dstᵀ
-    g0 = pl.program_id(0) * group
-    gi = jax.lax.broadcasted_iota(jnp.int32, (group, 1, 1), 0)
-    kv = jnp.zeros((group, 1, 1), jnp.int32)     # [G, 1, 1] from SMEM
-    for i in range(group):                       # (1D→3D vector reshape
-        kv = jnp.where(gi == i, kv_ref[g0 + i], kv)   # unsupported)
+def trsm_tiles_body(r_ref, lmat, y, kv, kvmax, *, nb, pb, group,
+                    precision=jax.lax.Precision.HIGHEST):
+    """Solve R = L^{-1}·y by pb-row forward-substitution panels.
+
+    ``lmat`` [G, nb, nb] diag tiles, ``y`` [G, nb, nb] = dstᵀ, ``kv``
+    [G, 1, 1] int32 column counts, ``kvmax`` scalar group max, ``r_ref``
+    a [G, nb, nb] VMEM scratch.  Returns Rᵀ (columns >= kv zeroed)."""
     coli = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nb), 2)
     sub8 = jax.lax.broadcasted_iota(jnp.int32, (1, pb, 1), 1)
     f32 = lmat.dtype
     r_ref[...] = jnp.zeros_like(lmat)
     hi = precision
-    kvmax = kv_ref[g0]                           # scalar group max: rows
-    for i in range(1, group):                    # past it solve to zero
-        kvmax = jnp.maximum(kvmax, kv_ref[g0 + i])
     for p0 in range(0, nb, pb):
         # panels past the group's widest kv produce all-zero rows (valid
         # mask) and r_ref is zero-initialized — skip them entirely
@@ -84,7 +79,21 @@ def _kernel(kv_ref, d_ref, x_ref, o_ref, r_ref, *, nb, pb=8, group,
                        + row * (sub8 == jj).astype(f32)
                        - lcol * row * (sub8 > jj).astype(f32))
             r_ref[:, p0:p0 + pb, :] = acc
-    o_ref[...] = jnp.swapaxes(r_ref[...], 1, 2)
+    return jnp.swapaxes(r_ref[...], 1, 2)
+
+
+def _kernel(kv_ref, d_ref, x_ref, o_ref, r_ref, *, nb, pb=8, group,
+            precision=jax.lax.Precision.HIGHEST):
+    from .pallas_potrf import scalars_to_vec
+
+    g0 = pl.program_id(0) * group
+    kv = scalars_to_vec([kv_ref[g0 + i] for i in range(group)], group)
+    kvmax = kv_ref[g0]                           # scalar group max: rows
+    for i in range(1, group):                    # past it solve to zero
+        kvmax = jnp.maximum(kvmax, kv_ref[g0 + i])
+    o_ref[...] = trsm_tiles_body(
+        r_ref, d_ref[...], jnp.swapaxes(x_ref[...], 1, 2), kv, kvmax,
+        nb=nb, pb=pb, group=group, precision=precision)
 
 
 def pallas_trsm_batch(diag_tiles, dst_tiles, kvec, nb: int, group: int = 4,

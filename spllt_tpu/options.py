@@ -31,7 +31,9 @@ class Options:
     coarse_waste: float = 8.0  # dense/sparse flop waste bound
     # execution -------------------------------------------------------------
     mode: str = "batched"    # 'batched' (jit level schedule) | 'stf' (oracle)
-    schedule: str = "scan"   # 'scan' (bucketed lax.scan) | 'unrolled'
+    schedule: str = "scan"   # 'scan' (bucketed lax.scan) | 'unrolled' |
+    #   'mega' (whole factorization as ONE pallas kernel; f32, nb%128==0
+    #   on TPU — ineligible configs fall back to 'scan')
     precision: str = "highest"  # MXU matmul passes: 'highest' (true f32,
     #   6 bf16 passes) | 'high' (3 passes) | 'default' (1 bf16 pass;
     #   pair with refine>=2 — mixed-precision factorization + refinement)
@@ -58,7 +60,7 @@ class Options:
             raise ValueError(f"nemin must be >= 1, got {self.nemin}")
         if self.mode not in ("batched", "stf"):
             raise ValueError(f"unknown mode {self.mode!r}")
-        if self.schedule not in ("scan", "unrolled"):
+        if self.schedule not in ("scan", "unrolled", "mega"):
             raise ValueError(f"unknown schedule {self.schedule!r}")
         if self.precision not in ("highest", "high", "default"):
             raise ValueError(f"unknown precision {self.precision!r}")

@@ -41,7 +41,11 @@ def make_sharded_solve(ex, mesh, axis: str = "rhs"):
         local, mesh=mesh,
         in_specs=(P(), P(None, axis), P(), P()),
         out_specs=P(None, axis))
-    fn = jax.jit(sharded, donate_argnums=(1,))
+    jfn = jax.jit(sharded, donate_argnums=(1,))
+
+    def fn(pool_ext, x):
+        return jfn(pool_ext, x, ftabs, btabs)
+
     xsh = NamedSharding(mesh, P(None, axis))
     return fn, xsh
 
