@@ -27,6 +27,7 @@ PRECISION = os.environ.get("BENCH_PRECISION", "highest")
 COARSE = os.environ.get("BENCH_COARSE", "0") not in ("0", "", "false")
 PALLAS = os.environ.get("BENCH_PALLAS", "auto")   # auto | on | off
 HMAX = int(os.environ.get("BENCH_HMAX", "2048"))
+SCHEDULE = os.environ.get("BENCH_SCHEDULE", "mega")  # mega | scan
 # (coarse default off for the driver: its batched 256-cholesky compiles
 #  >40 min server-side; enable with BENCH_COARSE=1 once warmed)
 # our own recorded baseline (GFLOP/s) to report progress against; the
@@ -53,7 +54,7 @@ def main() -> int:
                    nemin=NEMIN, mode="batched", dtype="float32",
                    refine=3 if PRECISION != "highest" else 2,
                    precision=PRECISION, prune_tree=False,
-                   coarse_subtrees=COARSE)
+                   coarse_subtrees=COARSE, schedule=SCHEDULE)
     t0 = time.perf_counter()
     symb = analyse(a, opts)
     from spllt_tpu.api import _plans
@@ -64,9 +65,19 @@ def main() -> int:
           f"flops={symb.inform.num_flops:.3e} levels={fplan.nlevels} "
           f"tasks={fplan.num_tasks} time={t_plan:.1f}s", file=sys.stderr)
 
-    ex = ScanFactorExecutor(fplan, dtype=jnp.float32,
-                            matmul_precision=PRECISION,
-                            pallas_updates=PALLAS, hmax=HMAX)
+    ex = None
+    if SCHEDULE == "mega":
+        try:
+            from spllt_tpu.numeric.megakernel import MegaFactorExecutor
+
+            ex = MegaFactorExecutor(fplan, dtype=jnp.float32,
+                                    matmul_precision=PRECISION)
+        except ValueError:
+            ex = None
+    if ex is None:
+        ex = ScanFactorExecutor(fplan, dtype=jnp.float32,
+                                matmul_precision=PRECISION,
+                                pallas_updates=PALLAS, hmax=HMAX)
     dense_ex = None
     if fplan.dense:
         from spllt_tpu.numeric.subtree import DenseSubtreeExecutor
@@ -109,8 +120,11 @@ def main() -> int:
         pool = assemble_jax(plan, vp, jnp.float32)
         if dense_ex is not None:
             pool = dense_ex(pool, vp)
-        pool, notpos = ex._fn(pool, ex.maps, ex.blk_n, ex.srcvec,
-                              ex._bucket_tables)
+        if isinstance(ex, ScanFactorExecutor):
+            pool, notpos = ex._fn(pool, ex.maps, ex.blk_n, ex.srcvec,
+                                  ex._bucket_tables)
+        else:
+            pool, notpos = ex._fn(pool)
         return (s + 1.0 + notpos.astype(jnp.float32)
                 + pool[0, 0, 0] * jnp.float32(1e-30))
 

@@ -45,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_potrf import potrf_tiles_body, scalars_to_vec
 from .pallas_trsm import trsm_tiles_body
-from .pallas_update import build_micro_tasks
+from .pallas_update import build_micro_tasks, onehot_gather
 
 __all__ = ["build_mega_stream", "mega_factorize", "MegaFactorExecutor"]
 
@@ -301,16 +301,10 @@ def _kernel(kind_ref, drain_ref, wr_ref, wc_ref, dst_ref, aux_ref,
              for i in range(group)], group)
         rr3 = relr[...][:, :, None]              # [G, nb, 1]
         rc3 = relc[...][:, :, None]
-        ponr = ((iot3 == rr3) & (rr3 >= 0)).astype(f32)
-        ponc = ((iot3 == rc3) & (rc3 >= 0) & (rowi < bkv)).astype(f32)
-        r3 = jax.lax.dot_general(ponr, winr[slot],
-                                 (((2,), (1,)), ((0,), (0,))),
-                                 precision=precision,
-                                 preferred_element_type=jnp.float32)
-        c3 = jax.lax.dot_general(ponc, winc[slot],
-                                 (((2,), (1,)), ((0,), (0,))),
-                                 precision=precision,
-                                 preferred_element_type=jnp.float32)
+        ponr = (iot3 == rr3) & (rr3 >= 0)
+        ponc = (iot3 == rc3) & (rc3 >= 0) & (rowi < bkv)
+        r3 = onehot_gather(ponr, winr[slot], group)
+        c3 = onehot_gather(ponc, winc[slot], group)
         u3 = jax.lax.dot_general(r3, c3, (((2,), (2,)), ((0,), (0,))),
                                  precision=precision,
                                  preferred_element_type=jnp.float32)

@@ -104,6 +104,28 @@ def build_micro_tasks(fp, lvl_lo: int, lvl_hi: int, nb: int,
     return out
 
 
+def onehot_gather(pon_bool, win, group):
+    """rows = onehot @ win as THREE exact bf16 MXU passes.
+
+    A gather is data movement, so full f32 fidelity is required — but
+    the one-hot operand is bf16-exact and an f32 value splits exactly
+    into three bf16 terms (24 = 3x8 mantissa bits; the residuals are
+    Sterbenz-exact).  Three DEFAULT-precision bf16 passes therefore
+    reproduce the HIGHEST-precision f32 result at half the MXU work
+    (HIGHEST splits BOTH operands: 6 passes)."""
+    f32 = win.dtype
+    p = pon_bool.astype(jnp.bfloat16)
+    w0 = win.astype(jnp.bfloat16)
+    r1 = win - w0.astype(f32)
+    w1 = r1.astype(jnp.bfloat16)
+    w2 = (r1 - w1.astype(f32)).astype(jnp.bfloat16)
+    dn = (((2,), (1,)), ((0,), (0,)))
+    out = jax.lax.dot_general(p, w0, dn, preferred_element_type=f32)
+    out += jax.lax.dot_general(p, w1, dn, preferred_element_type=f32)
+    out += jax.lax.dot_general(p, w2, dn, preferred_element_type=f32)
+    return out
+
+
 def _kernel(dst_ref, lor_ref, loc_ref, blkn_ref, relr, relc,
             poolf_hbm, out_hbm, acc, winr, winc, dtile, gstate,
             semr, semc, semd_r, semd_w, *, nb, group, ktasks,
@@ -168,17 +190,10 @@ def _kernel(dst_ref, lor_ref, loc_ref, blkn_ref, relr, relc,
         bkv = jnp.where(gidx == i, blkn_ref[t * group + i], bkv)
     rr3 = relr[...][:, :, None]                  # [G, nb, 1]
     rc3 = relc[...][:, :, None]
-    f32 = winr.dtype
-    ponr = ((iot3 == rr3) & (rr3 >= 0)).astype(f32)
-    ponc = ((iot3 == rc3) & (rc3 >= 0) & (rowi < bkv)).astype(f32)
-    r3 = jax.lax.dot_general(ponr, winr[slot],
-                             (((2,), (1,)), ((0,), (0,))),
-                             precision=precision,
-                             preferred_element_type=jnp.float32)
-    c3 = jax.lax.dot_general(ponc, winc[slot],
-                             (((2,), (1,)), ((0,), (0,))),
-                             precision=precision,
-                             preferred_element_type=jnp.float32)
+    ponr = (iot3 == rr3) & (rr3 >= 0)
+    ponc = (iot3 == rc3) & (rc3 >= 0) & (rowi < bkv)
+    r3 = onehot_gather(ponr, winr[slot], group)
+    c3 = onehot_gather(ponc, winc[slot], group)
     u3 = jax.lax.dot_general(r3, c3, (((2,), (2,)), ((0,), (0,))),
                              precision=precision,
                              preferred_element_type=jnp.float32)

@@ -27,7 +27,6 @@ def make_sharded_solve(ex, mesh, axis: str = "rhs"):
     [n+1, nrhs] with nrhs divisible by the mesh axis size.
     """
     import jax
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     fwd_run = ex._build(True)
@@ -37,10 +36,12 @@ def make_sharded_solve(ex, mesh, axis: str = "rhs"):
     def local(pool_ext, x, ft, bt):
         return bwd_run(pool_ext, fwd_run(pool_ext, x, ft), bt)
 
-    sharded = shard_map(
+    # check_vma=False: the pallas left-solve kernel's out_shape carries
+    # no varying-mesh-axes annotation, which strict vma checking rejects
+    sharded = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(), P(None, axis), P(), P()),
-        out_specs=P(None, axis))
+        out_specs=P(None, axis), check_vma=False)
     jfn = jax.jit(sharded, donate_argnums=(1,))
 
     def fn(pool_ext, x):
