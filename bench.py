@@ -22,7 +22,7 @@ import numpy as np
 # 3-D Poisson 32³ single chip)
 M = int(os.environ.get("BENCH_M", "32"))
 NB = int(os.environ.get("BENCH_NB", "128"))
-NEMIN = int(os.environ.get("BENCH_NEMIN", "128"))
+NEMIN = int(os.environ.get("BENCH_NEMIN", "192"))
 PRECISION = os.environ.get("BENCH_PRECISION", "highest")
 COARSE = os.environ.get("BENCH_COARSE", "0") not in ("0", "", "false")
 PALLAS = os.environ.get("BENCH_PALLAS", "auto")   # auto | on | off

@@ -65,8 +65,10 @@ def test_scan_executor_pallas_route():
     from spllt_tpu import Options, analyse, factor, make_rhs, poisson3d, \
         solve
 
-    mat = poisson3d(7)
-    base = dict(ordering="nd-grid", grid_shape=(7, 7, 7), nb=8, nemin=8,
+    # 5^3 keeps interpret-mode pallas (python per grid step) affordable
+    # on small CI hosts; 7^3 took >8 min on 2 vCPUs
+    mat = poisson3d(5)
+    base = dict(ordering="nd-grid", grid_shape=(5, 5, 5), nb=8, nemin=8,
                 refine=0, prune_tree=False)
     s0 = analyse(mat, Options(mode="stf", **base))
     n0 = factor(s0)
@@ -89,5 +91,33 @@ def test_scan_executor_pallas_route():
                                rtol=2e-4, atol=2e-4)
     xt, b = make_rhs(mat, nrhs=2)
     x = solve(np_, b, refine=2)
+    r = mat.matvec(x) - b
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-12
+
+
+def test_mega_executor_matches_oracle():
+    """Megakernel schedule (one pallas kernel for the whole
+    factorization, interpret mode on CPU) must match the f64 oracle."""
+    from spllt_tpu import Options, analyse, factor, make_rhs, poisson2d, \
+        solve
+
+    m = 12
+    mat = poisson2d(m)
+    base = dict(ordering="nd-grid", grid_shape=(m, m), nb=8, nemin=8,
+                refine=0, prune_tree=False)
+    s0 = analyse(mat, Options(mode="stf", **base))
+    n0 = factor(s0)
+    sm = analyse(mat, Options(mode="batched", schedule="mega",
+                              dtype="float32", **base))
+    nm = factor(sm)
+    # the mega executor must actually be in play for this config
+    from spllt_tpu.numeric.megakernel import MegaFactorExecutor
+    MegaFactorExecutor(nm.fplan)   # eligibility (raises if not)
+    pool_f32 = np.asarray(nm.pool)[:-1]
+    np.testing.assert_allclose(pool_f32,
+                               np.asarray(n0.pool)[:len(pool_f32)],
+                               rtol=2e-4, atol=2e-4)
+    xt, b = make_rhs(mat, nrhs=2)
+    x = solve(nm, b, refine=2)
     r = mat.matvec(x) - b
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-12
