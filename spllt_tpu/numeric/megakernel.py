@@ -295,9 +295,14 @@ def _kernel(kind_ref, drain_ref, wr_ref, wc_ref, dst_ref, aux_ref,
     def _():
         iot3 = jax.lax.broadcasted_iota(jnp.int32, (group, nb, nb), 2)
         rowi = jax.lax.broadcasted_iota(jnp.int32, (group, nb, 1), 1)
+        # explicit int32 constants: under jax x64 mode python ints trace
+        # as int64 and the SMEM scalars are int32
+        mask_c = jnp.int32((1 << _BLKN_BITS) - 1)
+        sh_f = jnp.int32(_BLKN_BITS)
+        sh_l = jnp.int32(_BLKN_BITS + 1)
+        one_c = jnp.int32(1)
         bkv = scalars_to_vec(
-            [jnp.bitwise_and(aux_ref[t * group + i],
-                             jnp.int32((1 << _BLKN_BITS) - 1))
+            [jnp.bitwise_and(aux_ref[t * group + i], mask_c)
              for i in range(group)], group)
         rr3 = relr[...][:, :, None]              # [G, nb, 1]
         rc3 = relc[...][:, :, None]
@@ -312,11 +317,11 @@ def _kernel(kind_ref, drain_ref, wr_ref, wc_ref, dst_ref, aux_ref,
         for i in range(group):
             gi = t * group + i
             first = jnp.bitwise_and(
-                jax.lax.shift_right_logical(aux_ref[gi], _BLKN_BITS),
-                jnp.int32(1)) > 0
+                jax.lax.shift_right_logical(aux_ref[gi], sh_f),
+                one_c) > 0
             last = jnp.bitwise_and(
-                jax.lax.shift_right_logical(aux_ref[gi], _BLKN_BITS + 1),
-                jnp.int32(1)) > 0
+                jax.lax.shift_right_logical(aux_ref[gi], sh_l),
+                one_c) > 0
 
             @pl.when(first)
             def _():
