@@ -31,8 +31,9 @@ SCHEDULE = os.environ.get("BENCH_SCHEDULE", "mega")  # mega | scan
 # (coarse default off for the driver: its batched 256-cholesky compiles
 #  >40 min server-side; enable with BENCH_COARSE=1 once warmed)
 # our own recorded baseline (GFLOP/s) to report progress against; the
-# reference publishes no numbers (BASELINE.md)
-BASELINE_GFLOPS = float(os.environ.get("BENCH_BASELINE", "0") or 0)
+# reference publishes no numbers (BASELINE.md).  Default = the round-1
+# recorded result (BENCH_r01.json, 42.27 GFLOP/s on this same config).
+BASELINE_GFLOPS = float(os.environ.get("BENCH_BASELINE", "42.27") or 0)
 
 
 def main() -> int:

@@ -62,7 +62,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trace", metavar="PATH", default=None,
                    help="dump a Chrome-trace JSON of host-side phases")
     p.add_argument("--schedule", default="scan",
-                   choices=["scan", "unrolled"])
+                   choices=["scan", "unrolled", "mega"],
+                   help="mega = whole factorization as one pallas kernel "
+                        "(f32, nb%%128==0 on TPU; falls back to scan)")
     p.add_argument("--coarse", action="store_true",
                    help="batched dense leaf-subtree phase")
     p.add_argument("--dot-tree", metavar="PATH", default=None,
