@@ -49,9 +49,6 @@ def bench_op(fn, args, reps=10):
     outs = [fn(*v) for v in variants]
     _fetch(outs[-1])
     return (time.perf_counter() - t0) / reps
-    elif isinstance(x, (tuple, list)):
-        for v in x:
-            jax_block(v)
 
 
 def main(argv=None) -> int:

@@ -34,8 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
                      help="generate random SPD matrix of order N")
     p.add_argument("--nb", type=int, default=256,
                    help="factor block size (default 256)")
-    p.add_argument("--snb", type=int, default=None,
-                   help="solve block size (default = nb)")
+    p.add_argument("--solve-group", type=int, default=None,
+                   help="solve-megakernel tasks per grid step")
     p.add_argument("--nemin", type=int, default=32,
                    help="amalgamation threshold (default 32)")
     p.add_argument("--ordering", default=None,
@@ -97,11 +97,11 @@ def main(argv=None) -> int:
 
     ordering = args.ordering or ("nd-grid" if grid_shape else "amd")
     options = Options(
-        nb=args.nb, snb=args.snb, nemin=args.nemin, ordering=ordering,
+        nb=args.nb, nemin=args.nemin, ordering=ordering,
         grid_shape=grid_shape, mode=args.mode, dtype=args.dtype,
         refine=args.refine, prune_tree=not args.no_prune_tree,
         ndevices=args.ndev, schedule=args.schedule,
-        coarse_subtrees=args.coarse,
+        coarse_subtrees=args.coarse, solve_group=args.solve_group,
     )
 
     from .utils.timers import print_timers, timer

@@ -19,8 +19,16 @@ __all__ = ["Options"]
 @dataclasses.dataclass
 class Options:
     # blocking --------------------------------------------------------------
+    # The reference exposes an independent solve tile size ``snb``
+    # (get_solve_blocks, /root/reference/src/spllt_solve_dep_mod.F90:1861-2030)
+    # because its solve blocks are re-cut over the lfact storage; in this
+    # design solve tasks address the SAME nb-tiled pool (panel windows are
+    # nb rows by construction), so solve granularity is controlled by
+    # ``nb`` plus ``solve_group`` (micro-tasks per megakernel grid step)
+    # instead — there is deliberately no snb.  Likewise the reference's
+    # ``chunk`` (OMP dep combining) and ``min_width_blas`` have no analogue:
+    # the static schedule has no runtime dependency engine to throttle.
     nb: int = 256            # factorization tile size (ref default nb=256)
-    snb: int | None = None   # solve tile size (defaults to nb, like ref snb)
     nemin: int = 32          # supernode amalgamation threshold (ref nemin=32)
     # symbolic --------------------------------------------------------------
     ordering: str = "amd"    # 'amd' | 'nd-grid' | 'rcm' | 'natural'
@@ -45,8 +53,9 @@ class Options:
     #   one relay round trip for the whole refined solve); falls back to
     #   the host-residual path for stf/unrolled modes
     ndevices: int = 1        # target device count (ref ncpu/nworker)
-    min_width_blas: int = 8  # kept for parity (ref min_width_blas)
-    chunk: int = 10          # kept for parity (ref chunk, OMP dep combining)
+    solve_group: int | None = None  # solve-megakernel micro-tasks per grid
+    #   step (None = executor default); the real granularity knob that
+    #   replaces the reference's snb
     # diagnostics -----------------------------------------------------------
     trace: bool = False      # event tracing (ref WITH_TRACE / trace_mod)
     timers: bool = False     # step timers (ref timer_mod)
@@ -54,8 +63,6 @@ class Options:
     def __post_init__(self):
         if self.nb < 1:
             raise ValueError(f"nb must be >= 1, got {self.nb}")
-        if self.snb is not None and self.snb < 1:
-            raise ValueError(f"snb must be >= 1, got {self.snb}")
         if self.nemin < 1:
             raise ValueError(f"nemin must be >= 1, got {self.nemin}")
         if self.mode not in ("batched", "stf"):
@@ -74,6 +81,6 @@ class Options:
                              f"got {self.pallas_hmax}")
         if self.ndevices < 1:
             raise ValueError(f"ndevices must be >= 1, got {self.ndevices}")
-
-    def solve_nb(self) -> int:
-        return self.nb if self.snb is None else self.snb
+        if self.solve_group is not None and self.solve_group < 1:
+            raise ValueError(
+                f"solve_group must be >= 1, got {self.solve_group}")

@@ -25,6 +25,11 @@ def _open(path: str):
     return open(path)
 
 
+def _parse_floats(text: str) -> np.ndarray:
+    """Whitespace-separated numeric text → float64 array (vectorized)."""
+    return np.array(text.split(), dtype=np.float64)
+
+
 def read_matrix_market(path: str, force_posdef: bool = True) -> CscMatrix:
     """Read a symmetric MatrixMarket .mtx file (coordinate format)."""
     with _open(path) as f:
@@ -42,15 +47,16 @@ def read_matrix_market(path: str, force_posdef: bool = True) -> CscMatrix:
         m, n, nnz = (int(x) for x in line.split())
         if m != n:
             raise ValueError("matrix must be square")
-        rows = np.empty(nnz, dtype=np.int64)
-        cols = np.empty(nnz, dtype=np.int64)
-        vals = None if pattern_only else np.empty(nnz, dtype=np.float64)
-        for k in range(nnz):
-            toks = f.readline().split()
-            rows[k] = int(toks[0]) - 1
-            cols[k] = int(toks[1]) - 1
-            if vals is not None:
-                vals[k] = float(toks[2])
+        # bulk-parse the coordinate block (multi-million-nnz files):
+        # one fromstring pass instead of a per-line python loop
+        ncols_file = 2 if pattern_only else 3
+        data = _parse_floats(f.read())
+        if data.size < nnz * ncols_file:
+            raise ValueError("truncated MatrixMarket coordinate data")
+        data = data[: nnz * ncols_file].reshape(nnz, ncols_file)
+        rows = data[:, 0].astype(np.int64) - 1
+        cols = data[:, 1].astype(np.int64) - 1
+        vals = None if pattern_only else np.ascontiguousarray(data[:, 2])
     if vals is None:
         a = CscMatrix.from_coo(n, rows, cols,
                                np.zeros(len(rows)))
@@ -80,21 +86,17 @@ def read_rutherford_boeing(path: str,
         if mxtype[1] not in ("s", "u"):
             raise ValueError(f"unsupported RB matrix type {mxtype}")
 
-        def read_ints(ncards, count):
-            out = []
-            for _ in range(ncards):
-                out.extend(int(t) for t in f.readline().split())
-            return np.asarray(out[:count], dtype=np.int64)
+        def read_cards(ncards):
+            return "\n".join(f.readline() for _ in range(ncards))
 
-        colptr = read_ints(ptrcrd, ncol + 1) - 1
-        rowind = read_ints(indcrd, nnz) - 1
+        colptr = _parse_floats(read_cards(ptrcrd))[: ncol + 1] \
+            .astype(np.int64) - 1
+        rowind = _parse_floats(read_cards(indcrd))[:nnz] \
+            .astype(np.int64) - 1
         vals = None
         if valcrd > 0 and mxtype[0] in ("r", "i"):
-            out = []
-            for _ in range(valcrd):
-                out.extend(float(t.replace("D", "E").replace("d", "e"))
-                           for t in f.readline().split())
-            vals = np.asarray(out[:nnz], dtype=np.float64)
+            txt = read_cards(valcrd).replace("D", "E").replace("d", "e")
+            vals = _parse_floats(txt)[:nnz]
     cols = np.repeat(np.arange(ncol, dtype=np.int64), np.diff(colptr))
     if vals is None:
         a = CscMatrix.from_coo(ncol, rowind, cols, np.zeros(nnz))

@@ -14,9 +14,9 @@ import numpy as np
 
 __all__ = ["save_symbolic", "load_symbolic", "save_factor", "load_factor"]
 
-_OPT_FIELDS = ("nb", "snb", "nemin", "ordering", "grid_shape", "prune_tree",
+_OPT_FIELDS = ("nb", "nemin", "ordering", "grid_shape", "prune_tree",
                "mode", "schedule", "dtype", "precision", "refine",
-               "ndevices", "min_width_blas", "chunk")
+               "ndevices", "solve_group")
 
 
 def save_symbolic(path: str, symb) -> None:
@@ -51,6 +51,9 @@ def load_symbolic(path: str):
     opts = dict(z["options"][0])
     if opts.get("grid_shape") is not None:
         opts["grid_shape"] = tuple(int(x) for x in opts["grid_shape"])
+    # drop fields saved by older versions that no longer exist
+    known = {f.name for f in __import__("dataclasses").fields(Options)}
+    opts = {k: v for k, v in opts.items() if k in known}
     options = Options(**opts)
     vals = z["a_values"]
     a = CscMatrix(int(z["n"]), z["a_colptr"], z["a_rowind"],
