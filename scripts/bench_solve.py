@@ -31,6 +31,11 @@ def main(argv=None) -> int:
     ap.add_argument("--nemin", type=int, default=64)
     ap.add_argument("--nrhs", default="1,4,16,64")
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--schedule", default="scan", choices=["scan", "mega"],
+                    help="solve executor: bucketed scan or the solve "
+                         "megakernel (numeric/solve_mega.py)")
+    ap.add_argument("--group", type=int, default=None,
+                    help="megakernel micro-tasks per grid step")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -44,7 +49,7 @@ def main(argv=None) -> int:
     a = poisson3d(m)
     opts = Options(ordering="nd-grid", grid_shape=(m,) * 3, nb=args.nb,
                    nemin=args.nemin, dtype="float32", refine=0,
-                   prune_tree=False)
+                   prune_tree=False, schedule="mega")
     symb = analyse(a, opts)
     num = factor(symb)
     pool = num.pool
@@ -52,8 +57,17 @@ def main(argv=None) -> int:
     print(f"# n={symb.n} nnzL={symb.inform.num_factor} "
           f"pool={pool_bytes/1e6:.0f} MB", file=sys.stderr)
 
+    smp = None
     for nrhs in (int(x) for x in args.nrhs.split(",")):
-        ex = ScanSolveExecutor(num.splan, nrhs, dtype=jnp.float32)
+        if args.schedule == "mega":
+            from spllt_tpu.numeric.solve_mega import MegaSolveExecutor
+
+            ex = MegaSolveExecutor(symb, num.plan, nrhs,
+                                   dtype=jnp.float32, group=args.group,
+                                   smp=smp)
+            smp = ex.smp
+        else:
+            ex = ScanSolveExecutor(num.splan, nrhs, dtype=jnp.float32)
         xt, b = make_rhs(a, nrhs)
         x0 = np.zeros((symb.n + 1, nrhs), dtype=np.float32)
         x0[:symb.n] = b[symb.perm]

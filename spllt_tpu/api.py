@@ -227,19 +227,36 @@ def _solve_refined_device(num: NumericFactor, bb: np.ndarray,
 
 
 def _scan_executor(num: NumericFactor, nrhs: int):
+    """Compiled solve executor for ``nrhs`` (cached): the solve
+    megakernel when schedule='mega' and eligible, else the bucketed
+    scan executor."""
     import jax.numpy as jnp
 
     key = (nrhs,)
     ex = num._solve_execs.get(key)
+    if ex is not None:
+        return ex
+    dtype = (jnp.float64 if num.options.dtype == "float64"
+             else jnp.float32)
+    if num.options.schedule == "mega":
+        try:
+            from .numeric.solve_mega import MegaSolveExecutor
+
+            ex = MegaSolveExecutor(
+                num.symb, num.plan, nrhs, dtype=dtype,
+                matmul_precision=num.options.precision,
+                group=num.options.solve_group,
+                smp=num._solve_execs.get("_mega_plan"))
+            num._solve_execs["_mega_plan"] = ex.smp
+        except ValueError:
+            ex = None   # ineligible (dtype/nb): fall back to scan
     if ex is None:
         from .numeric.solve_scan import ScanSolveExecutor
 
-        dtype = (jnp.float64 if num.options.dtype == "float64"
-                 else jnp.float32)
         ex = ScanSolveExecutor(num.splan, nrhs, dtype=dtype,
                                matmul_precision=num.options.precision,
                                pallas=num.options.pallas_updates)
-        num._solve_execs[key] = ex
+    num._solve_execs[key] = ex
     return ex
 
 
@@ -274,24 +291,19 @@ def _solve_once(num: NumericFactor, bb: np.ndarray, job: int) -> np.ndarray:
     else:
         import jax.numpy as jnp
 
-        key = (nrhs,)
-        ex = num._solve_execs.get(key)
-        if ex is None:
-            dtype = (jnp.float64 if num.options.dtype == "float64"
-                     else jnp.float32)
-            if num.options.schedule == "scan":
-                from .numeric.solve_scan import ScanSolveExecutor
-
-                ex = ScanSolveExecutor(
-                    num.splan, nrhs, dtype=dtype,
-                    matmul_precision=num.options.precision,
-                    pallas=num.options.pallas_updates)
-            else:
+        if num.options.schedule in ("scan", "mega"):
+            ex = _scan_executor(num, nrhs)
+        else:
+            key = (nrhs,)
+            ex = num._solve_execs.get(key)
+            if ex is None:
+                dtype = (jnp.float64 if num.options.dtype == "float64"
+                         else jnp.float32)
                 from .numeric.solve import SolveExecutor
 
                 ex = SolveExecutor(num.splan, nrhs, dtype=dtype,
                                    matmul_precision=num.options.precision)
-            num._solve_execs[key] = ex
+                num._solve_execs[key] = ex
         xd = xp
         if job == 0 and hasattr(ex, "full"):
             xd = ex.full(num.pool, xd)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_left_solve"]
+__all__ = ["pallas_left_solve", "solve_tiles_body"]
 
 
 def _i0():
@@ -39,14 +39,16 @@ def _i0():
     return jnp.int32(0)
 
 
-def _kernel(kv_ref, t_ref, z_ref, o_ref, y_ref, *, nb, nrhs, transpose,
-            group, pb=8):
-    g0 = pl.program_id(0) * group
-    gi = jax.lax.broadcasted_iota(jnp.int32, (group, 1, 1), 0)
-    kv = jnp.zeros((group, 1, 1), jnp.int32)
-    for i in range(group):
-        kv = jnp.where(gi == i, kv_ref[g0 + i], kv)
-    lmat = t_ref[...]                            # [G, nb, nb]
+def solve_tiles_body(y_ref, lmat, z, kv, *, nb, nrhs, transpose, group,
+                     pb=8):
+    """8-row substitution panels over [G, nb, nrhs] right-hand sides.
+
+    ``lmat`` [G, nb, nb] lower tiles, ``z`` [G, nb, nrhs], ``kv``
+    [G, 1, 1] int32 column counts (rows >= kv act as identity),
+    ``y_ref`` a [G, nb, nrhs] VMEM scratch.  Returns y solving
+    (L + I_pad) y = z, or its transpose.  Shared by the standalone
+    level kernel below and the solve megakernel's SOL/SOLT bodies.
+    """
     if transpose:
         lmat = jnp.swapaxes(lmat, 1, 2)          # solve Lᵀy = z by rows
     coli = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nb), 2)
@@ -57,7 +59,7 @@ def _kernel(kv_ref, t_ref, z_ref, o_ref, y_ref, *, nb, nrhs, transpose,
     panels = range(nb - pb, -1, -pb) if transpose else range(0, nb, pb)
     for p0 in panels:
         lp = lmat[:, p0:p0 + pb, :]              # [G, pb, nb]
-        acc = (z_ref[:, p0:p0 + pb, :]
+        acc = (z[:, p0:p0 + pb, :]
                - jax.lax.dot_general(lp, y_ref[...],
                                      (((2,), (1,)), ((0,), (0,))),
                                      precision=hi,
@@ -77,7 +79,19 @@ def _kernel(kv_ref, t_ref, z_ref, o_ref, y_ref, *, nb, nrhs, transpose,
                    + row * (sub8 == jj).astype(f32)
                    - lcol * row * rem.astype(f32))
         y_ref[:, p0:p0 + pb, :] = acc
-    o_ref[...] = y_ref[...]
+    return y_ref[...]
+
+
+def _kernel(kv_ref, t_ref, z_ref, o_ref, y_ref, *, nb, nrhs, transpose,
+            group, pb=8):
+    g0 = pl.program_id(0) * group
+    gi = jax.lax.broadcasted_iota(jnp.int32, (group, 1, 1), 0)
+    kv = jnp.zeros((group, 1, 1), jnp.int32)
+    for i in range(group):
+        kv = jnp.where(gi == i, kv_ref[g0 + i], kv)
+    o_ref[...] = solve_tiles_body(y_ref, t_ref[...], z_ref[...], kv,
+                                  nb=nb, nrhs=nrhs, transpose=transpose,
+                                  group=group, pb=pb)
 
 
 def pallas_left_solve(tiles, z, kvec, nb: int, transpose: bool,

@@ -1,26 +1,37 @@
-"""Multi-device forest-parallel factorization (shard_map + collectives).
+"""Multi-device forest-parallel factorization + solve (shard_map).
 
 TPU-native replacement for the reference's distributed-memory path.  SpLLT
 distributes blocks over MPI ranks via PaRSEC's ``blk_rank_of`` map and lets
 the dataflow runtime generate point-to-point block transfers
-(/root/reference/src/PaRSEC/spllt_parsec_blk_data.c:33-64, factorize.jdf).
-Here the elimination forest itself is partitioned: the flop-balanced L0
-layer from the tree pruning (``spllt_prune_tree`` analogue) assigns whole
-subtrees to devices; each device factors its subtrees locally with the same
-level-scheduled batched program (SPMD over a ``tree`` mesh axis, per-device
-task tables padded to common shapes), ancestor contribution blocks are
-reduced with one ``psum`` over ICI, and the (small) top of the tree is
-factored replicated.  Communication is a single deterministic collective —
-no runtime scheduler, no point-to-point messaging, and bitwise-reproducible
-results for a fixed configuration (the reference's STARPU_COMMUTE updates
-are run-to-run non-deterministic; SURVEY §7 'hard parts').
+(/root/reference/src/PaRSEC/spllt_parsec_blk_data.c:33-64, factorize.jdf);
+the solve is not distributed at all.  Here the elimination forest itself is
+partitioned: the flop-balanced L0 layer from the tree pruning
+(``spllt_prune_tree`` analogue) assigns whole subtrees to devices; each
+device factors its subtrees locally with the SAME bucketed lax.scan level
+schedule as the single-chip production executor (numeric/factor_scan.py) —
+per-device task tables padded to SPMD-uniform shapes — ancestor
+contribution blocks are reduced with one ``psum`` over ICI, and the (small)
+top of the forest is factored replicated.  Communication is a single
+deterministic collective per phase — no runtime scheduler, no
+point-to-point messaging, and bitwise-reproducible results for a fixed
+configuration (the reference's STARPU_COMMUTE updates are run-to-run
+non-deterministic; SURVEY §7 'hard parts').
 
-Phases:
-  A. local: assemble + factor the device's subtrees; ``update_between``
-     contributions into top ancestors accumulate in a zero-initialized
-     replica of the top blocks.
+Factorization phases:
+  A. local: factor the device's subtrees (bucketed scan over sharded
+     tables); ``update_between`` contributions into top ancestors
+     accumulate in a zero-initialized replica of the top blocks.
   B. reduce: top = assembled_top + psum(contributions, 'tree').
   C. replicated: factor the top subforest (identical on every device).
+
+Distributed solve (the reference has no analogue — its solve is
+shared-memory only, spllt_solve_mod.F90): the right-hand side panel
+x[n+1, nrhs] is replicated; each device runs its subtrees' solve tasks
+locally (writes to its own subtree's rows are exclusive, adds into top
+rows commute), the per-device deltas are psum-merged
+(x = x_in + psum(x_local - x_in)), and the top subforest solve runs
+replicated.  Backward mirrors: replicated top first, local subtrees
+after, one more delta-psum.
 """
 
 from __future__ import annotations
@@ -30,7 +41,8 @@ import dataclasses
 import numpy as np
 
 __all__ = ["ForestPartition", "partition_forest", "MultiDeviceFactor",
-           "dryrun"]
+           "build_multidevice_factor", "make_sharded_factorize",
+           "make_sharded_solve", "reconstruct_global_pool", "dryrun"]
 
 
 @dataclasses.dataclass
@@ -66,13 +78,11 @@ def partition_forest(symb, plan, ndev: int) -> ForestPartition:
     blk_local = np.empty(plan.nblocks, dtype=np.int64)
     top_sel = blk_dev == -1
     blk_local[top_sel] = np.arange(ntop)
-    per_dev = np.zeros(ndev, dtype=np.int64)
     ppart = 0
     for d in range(ndev):
         sel = blk_dev == d
         cnt = int(np.sum(sel))
         blk_local[sel] = ntop + np.arange(cnt)
-        per_dev[d] = cnt
         ppart = max(ppart, cnt)
     return ForestPartition(
         ndev=ndev, part_of_node=part_of_node, ntop=ntop, ppart=ppart,
@@ -80,43 +90,96 @@ def partition_forest(symb, plan, ndev: int) -> ForestPartition:
 
 
 # ------------------------------------------------------------------------- #
-def _pad_bucket(tasks_by_dev, nlevels, ndev, nfields, pad_task):
-    """Bucket per-device tasks by level with common padded per-level counts.
+# SPMD bucket tables: per-device task lists -> [ndev, nlev_b, K] arrays
+# ------------------------------------------------------------------------- #
 
-    tasks_by_dev: list over devices of lists of (lvl, f0, f1, ...).
-    Returns (ptr[nlevels+2], fields: list of [ndev, total] arrays).
+def _bucket_flat(tl, nlevels, field_dims):
+    """Level-bucket one device's task list [(lvl, f0, f1, ...)].
+
+    field_dims: per field, None (scalar) or the row width (2-D field).
     """
-    counts = np.zeros((ndev, nlevels + 2), dtype=np.int64)
-    for d in range(ndev):
-        for t in tasks_by_dev[d]:
-            counts[d, t[0] + 1] += 1
-    per_level = counts.max(axis=0)
-    ptr = np.cumsum(per_level)
-    total = int(ptr[-1])
-    fields = [np.empty((ndev, total), dtype=np.int64) for _ in range(nfields)]
-    for d in range(ndev):
-        buckets: dict[int, list] = {}
-        for t in tasks_by_dev[d]:
-            buckets.setdefault(t[0], []).append(t[1:])
-        for lvl in range(nlevels + 1):
-            s = int(ptr[lvl])
-            e = int(ptr[lvl + 1])
-            got = buckets.get(lvl, [])
-            for i in range(e - s):
-                src = got[i] if i < len(got) else pad_task
-                for f in range(nfields):
-                    fields[f][d, s + i] = src[f]
-    return ptr, fields
+    nfields = len(field_dims)
+    ptr = np.zeros(nlevels + 2, dtype=np.int64)
+    for t in tl:
+        ptr[t[0] + 1] += 1
+    ptr = np.cumsum(ptr)
+    fields = [np.empty(len(tl), dtype=object) for _ in range(nfields)]
+    fill = np.zeros(nlevels + 2, dtype=np.int64)
+    for t in tl:
+        pos = int(ptr[t[0]] + fill[t[0]])
+        fill[t[0]] += 1
+        for f in range(nfields):
+            fields[f][pos] = t[1 + f]
+    out = []
+    for f in range(nfields):
+        w = field_dims[f]
+        if w is None:
+            out.append(fields[f].astype(np.int64) if len(tl)
+                       else np.empty(0, np.int64))
+        else:
+            out.append(np.stack(list(fields[f])).astype(np.int64)
+                       if len(tl) else np.empty((0, w), np.int64))
+    return ptr, out
+
+
+def _spmd_bucket_tables(per_dev_tasks, nlevels, kind_fields, pad_values,
+                        alpha: float = 1.6):
+    """Shared bucket spans from per-level MAX counts across devices, then
+    per-device padded tables stacked to [ndev, nlev_b, K(, nb)].
+
+    per_dev_tasks: {kind: [list of (lvl, f...) per device]}.
+    kind_fields: {kind: [field names]}.  Returns list of per-bucket dicts
+    {kind_field: np.ndarray[ndev, nlev_b, K(, nb)]}.
+    """
+    from ..plan.buckets import make_buckets, pad_tables
+
+    ndev = len(next(iter(per_dev_tasks.values())))
+    kinds = list(per_dev_tasks.keys())
+    counts = {}
+    flat = {k: [] for k in kinds}          # per device (ptr, fields)
+    for k in kinds:
+        dims = [len(pad_values[k][nm])
+                if isinstance(pad_values[k][nm], np.ndarray) else None
+                for nm in kind_fields[k]]
+        cmax = np.zeros(nlevels + 2, dtype=np.int64)
+        for d in range(ndev):
+            ptr, fields = _bucket_flat(per_dev_tasks[k][d], nlevels,
+                                       dims)
+            flat[k].append((ptr, fields))
+            cmax = np.maximum(cmax, np.diff(np.append(ptr, ptr[-1])))
+        counts[k] = cmax[:nlevels + 1]
+    spans = make_buckets(counts, nlevels, alpha=alpha)
+    out = []
+    for span in spans:
+        per_dev = []
+        for d in range(ndev):
+            fields = {k: {nm: flat[k][d][1][i]
+                          for i, nm in enumerate(kind_fields[k])}
+                      for k in kinds}
+            ptrs = {k: flat[k][d][0] for k in kinds}
+            b = pad_tables(span, fields, ptrs, pad_values)
+            per_dev.append(b.tables)
+        stacked = {nm: np.stack([per_dev[d][nm] for d in range(ndev)])
+                   for nm in per_dev[0]}
+        out.append(stacked)
+    return out
 
 
 @dataclasses.dataclass
 class MultiDeviceFactor:
-    """Compiled multi-device factorization for one (symb, plan, ndev)."""
+    """Compiled multi-device factorization+solve plan for (symb, plan,
+    ndev)."""
 
     part: ForestPartition
     nlevels: int
-    # phase A (sharded [ndev, ...]) and phase C (replicated) task tables
-    tables: dict
+    a_buckets: list              # factor phase A: [ndev, ...] tables
+    c_buckets: list              # factor phase C: [1, ...] tables
+    fsolve: dict                 # solve tables (fwd/bwd x A/C buckets)
+    srcvec_local: np.ndarray     # [ndev, S]
+    maps: np.ndarray
+    blk_n_local: np.ndarray      # [ndev, nlocal]
+    cmax: int
+    n: int
     # assembly
     asm_rowflat: np.ndarray      # [ndev, max_asm]
     asm_col: np.ndarray
@@ -124,13 +187,12 @@ class MultiDeviceFactor:
     top_rowflat: np.ndarray      # top assembly (host, replicated)
     top_col: np.ndarray
     top_val_idx: np.ndarray
-    maps: np.ndarray
     nb: int
 
     def local_pools(self, values: np.ndarray, dtype=np.float32):
-        """Host-side assembly of the sharded local pools [ndev, nlocal*nb, nb]
-        (subtree blocks only; top region zero) and the replicated assembled
-        top [ntop*nb, nb]."""
+        """Host-side assembly of the sharded local pools
+        [ndev, nlocal*nb, nb] (subtree blocks only; top region zero) and
+        the replicated assembled top [ntop*nb, nb]."""
         p = self.part
         nb = self.nb
         ndev = p.ndev
@@ -147,32 +209,33 @@ class MultiDeviceFactor:
         return pools, top
 
 
-def build_multidevice_factor(symb, plan, fplan, ndev: int
+def build_multidevice_factor(symb, plan, fplan, ndev: int, splan=None
                              ) -> MultiDeviceFactor:
-    """Partition the global factor plan into per-device phase-A tables and a
-    replicated phase-C table, with padded SPMD-uniform shapes."""
+    """Partition the global factor (+solve) plans into per-device phase-A
+    and replicated phase-C bucket-scan tables with SPMD-uniform shapes."""
     part = partition_forest(symb, plan, ndev)
     nb = plan.nb
     L = part.blk_local
-    shift_scratch = part.nlocal - 1  # local scratch block id
+    scratch = part.nlocal - 1      # local scratch block id
 
     node_dev = part.part_of_node
-    # per-node local-id shift (all blocks of a node share one shift)
     node_shift = (L[plan.node_blk_ptr[:-1]]
                   - plan.node_blk_ptr[:-1]).astype(np.int64)
 
     def owner_of_blk(b):
         return int(node_dev[plan.blk_node[b]])
 
-    # split the flat global task lists back out with their levels
     def unbucket(ptr, *fields):
         out = []
         nlev = len(ptr) - 2
         for lvl in range(nlev + 1):
             for t in range(int(ptr[lvl]), int(ptr[lvl + 1])):
-                out.append((lvl,) + tuple(int(f[t]) for f in fields))
+                out.append((lvl,) + tuple(
+                    f[t] if isinstance(f[t], np.ndarray) else int(f[t])
+                    for f in fields))
         return out
 
+    # ---------------- factor task split ------------------------------- #
     potrf = unbucket(fplan.potrf_ptr, fplan.potrf_blk, fplan.potrf_k)
     trsm = unbucket(fplan.trsm_ptr, fplan.trsm_diag, fplan.trsm_dst,
                     fplan.trsm_k)
@@ -182,67 +245,46 @@ def build_multidevice_factor(symb, plan, fplan, ndev: int
                      fplan.updbt_mc, fplan.updbt_svp, fplan.updbt_c)
 
     nlevels = fplan.nlevels
-    a_potrf = [[] for _ in range(ndev)]
-    c_potrf = []
+    a = {k: [[] for _ in range(ndev)]
+         for k in ("potrf", "trsm", "syrk", "updbt")}
+    c = {k: [[]] for k in ("potrf", "trsm", "syrk", "updbt")}
     for lvl, blk, k in potrf:
         d = owner_of_blk(blk)
-        if d == -1:
-            c_potrf.append((lvl, int(L[blk]), k))
-        else:
-            a_potrf[d].append((lvl, int(L[blk]), k))
-    a_trsm = [[] for _ in range(ndev)]
-    c_trsm = []
+        tt = (lvl, int(L[blk]), k)
+        (c["potrf"][0] if d == -1 else a["potrf"][d]).append(tt)
     for lvl, diag, dst, k in trsm:
         d = owner_of_blk(diag)
         tt = (lvl, int(L[diag]), int(L[dst]), k)
-        (c_trsm if d == -1 else a_trsm[d]).append(tt)
-    a_syrk = [[] for _ in range(ndev)]
-    c_syrk = []
+        (c["trsm"][0] if d == -1 else a["trsm"][d]).append(tt)
     for lvl, si, sj, dst in syrk:
         d = owner_of_blk(si)
         tt = (lvl, int(L[si]), int(L[sj]), int(L[dst]))
-        (c_syrk if d == -1 else a_syrk[d]).append(tt)
-    a_updbt = [[] for _ in range(ndev)]
-    c_updbt = []
+        (c["syrk"][0] if d == -1 else a["syrk"][d]).append(tt)
     for lvl, dst, mr, mc, svp, cw in updbt:
         src_node = int(fplan.srcvec_node[svp])
         d = int(node_dev[src_node])
         tt = (lvl, int(L[dst]), mr, mc, svp, cw)
-        (c_updbt if d == -1 else a_updbt[d]).append(tt)
-    # srcvec with local shifts (replicated table works for phase C too:
-    # top-node entries get the top mapping on every device)
+        (c["updbt"][0] if d == -1 else a["updbt"][d]).append(tt)
+    # srcvec with local shifts: phase-A tasks of device d only reference
+    # entries of d's nodes; the top entries are correct on every device
     srcvec_local = (fplan.srcvec
                     + node_shift[fplan.srcvec_node]).astype(np.int64)
+    srcvec_local = np.tile(srcvec_local, (ndev, 1))
 
-    # phase C tables (replicated, standard bucketing)
-    def bucket_flat(tl, nfields):
-        ptr = np.zeros(nlevels + 2, dtype=np.int64)
-        for t in tl:
-            ptr[t[0] + 1] += 1
-        ptr = np.cumsum(ptr)
-        fields = [np.empty(len(tl), dtype=np.int64) for _ in range(nfields)]
-        fill = np.zeros(nlevels + 2, dtype=np.int64)
-        for t in tl:
-            pos = int(ptr[t[0]] + fill[t[0]])
-            fill[t[0]] += 1
-            for f in range(nfields):
-                fields[f][pos] = t[1 + f]
-        return ptr, fields
-
-    cp_ptr, cp_f = bucket_flat(c_potrf, 2)
-    ct_ptr, ct_f = bucket_flat(c_trsm, 3)
-    cs_ptr, cs_f = bucket_flat(c_syrk, 3)
-    cu_ptr, cu_f = bucket_flat(c_updbt, 5)
-
-    # phase A tables (sharded, padded)
-    scratch = shift_scratch
-    ap_ptr, ap_f = _pad_bucket(a_potrf, nlevels, ndev, 2, (scratch, 0))
-    at_ptr, at_f = _pad_bucket(a_trsm, nlevels, ndev, 3,
-                               (scratch, scratch, 0))
-    as_ptr, as_f = _pad_bucket(a_syrk, nlevels, ndev, 3,
-                               (scratch, scratch, scratch))
-    au_ptr, au_f = _pad_bucket(a_updbt, nlevels, ndev, 5,
-                               (scratch, 0, 0, 0, 0))
+    kind_fields = {
+        "potrf": ["blk", "k"],
+        "trsm": ["diag", "dst", "k"],
+        "syrk": ["i", "j", "dst"],
+        "updbt": ["dst", "mr", "mc", "svp", "c"],
+    }
+    pad_values = {
+        "potrf": {"blk": scratch, "k": 0},
+        "trsm": {"diag": scratch, "dst": scratch, "k": 0},
+        "syrk": {"i": scratch, "j": scratch, "dst": scratch},
+        "updbt": {"dst": scratch, "mr": 0, "mc": 0, "svp": 0, "c": 0},
+    }
+    a_buckets = _spmd_bucket_tables(a, nlevels, kind_fields, pad_values)
+    c_buckets = _spmd_bucket_tables(c, nlevels, kind_fields, pad_values)
 
     # local blk_n per device (for updbt col masks); scratch gets nb
     blk_n_local = np.full((ndev, part.nlocal), nb, dtype=np.int64)
@@ -253,19 +295,57 @@ def build_multidevice_factor(symb, plan, fplan, ndev: int
         else:
             blk_n_local[d, L[b]] = plan.blk_n[b]
 
-    # assembly split: per-device entries + top entries
+    # ---------------- solve task split -------------------------------- #
+    fsolve = {}
+    if splan is not None:
+        n = symb.n
+        pad_rows = np.full(nb, n, dtype=np.int64)
+        sp = splan
+
+        def split_dir(sol_ptr, sol_blk, sol_rows, sol_k,
+                      upd_ptr, upd_blk, upd_rows, upd_c0, upd_k, nlev):
+            """One direction: sol+upd kinds bucketed with SHARED spans
+            (level alignment between the kinds is what orders the solve
+            phases; see _solve_scan_phase)."""
+            av = {"sol": [[] for _ in range(ndev)],
+                  "upd": [[] for _ in range(ndev)]}
+            cv = {"sol": [[]], "upd": [[]]}
+            for t in unbucket(sol_ptr, sol_blk, sol_rows, sol_k):
+                d = owner_of_blk(t[1])
+                tt = (t[0], int(L[t[1]])) + t[2:]
+                (cv["sol"][0] if d == -1 else av["sol"][d]).append(tt)
+            for t in unbucket(upd_ptr, upd_blk, upd_rows, upd_c0, upd_k):
+                d = owner_of_blk(t[1])
+                tt = (t[0], int(L[t[1]])) + t[2:]
+                (cv["upd"][0] if d == -1 else av["upd"][d]).append(tt)
+            fields = {"sol": ["blk", "rows", "k"],
+                      "upd": ["blk", "rows", "c0", "k"]}
+            pads = {"sol": {"blk": scratch, "rows": pad_rows, "k": 0},
+                    "upd": {"blk": scratch, "rows": pad_rows, "c0": 0,
+                            "k": 0}}
+            return (_spmd_bucket_tables(av, nlev, fields, pads),
+                    _spmd_bucket_tables(cv, nlev, fields, pads))
+
+        fsolve["fwd_a"], fsolve["fwd_c"] = split_dir(
+            sp.fsol_ptr, sp.fsol_blk, sp.fsol_rows, sp.fsol_k,
+            sp.fupd_ptr, sp.fupd_blk, sp.fupd_rows, sp.fupd_c0,
+            sp.fupd_k, sp.nlevels_fwd)
+        fsolve["bwd_a"], fsolve["bwd_c"] = split_dir(
+            sp.bsol_ptr, sp.bsol_blk, sp.bsol_rows, sp.bsol_k,
+            sp.bupd_ptr, sp.bupd_blk, sp.bupd_rows, sp.bupd_c0,
+            sp.bupd_k, sp.nlevels_bwd)
+
+    # ---------------- assembly split ----------------------------------- #
     asm_blk = plan.asm_rowflat.astype(np.int64) // nb
     asm_r = plan.asm_rowflat.astype(np.int64) % nb
     asm_dev = np.array([owner_of_blk(int(b)) for b in asm_blk])
     top_sel = asm_dev == -1
-    top_rowflat = (L[asm_blk[top_sel]] * nb + asm_r[top_sel]).astype(np.int64)
+    top_rowflat = (L[asm_blk[top_sel]] * nb
+                   + asm_r[top_sel]).astype(np.int64)
     top_col = plan.asm_col[top_sel].astype(np.int64)
     top_val_idx = np.nonzero(top_sel)[0]
-    max_asm = max((int(np.sum(asm_dev == d)) for d in range(ndev)),
-                  default=0)
-    max_asm = max(max_asm, 1)
-    asm_rowflat = np.full((ndev, max_asm), shift_scratch * nb,
-                          dtype=np.int64)
+    max_asm = max([int(np.sum(asm_dev == d)) for d in range(ndev)] + [1])
+    asm_rowflat = np.full((ndev, max_asm), scratch * nb, dtype=np.int64)
     asm_col = np.zeros((ndev, max_asm), dtype=np.int64)
     asm_val_idx = np.full((ndev, max_asm), -1, dtype=np.int64)
     for d in range(ndev):
@@ -274,149 +354,280 @@ def build_multidevice_factor(symb, plan, fplan, ndev: int
         asm_col[d, :len(sel)] = plan.asm_col[sel]
         asm_val_idx[d, :len(sel)] = sel
 
-    tables = dict(
-        ap_ptr=ap_ptr, ap_blk=ap_f[0], ap_k=ap_f[1],
-        at_ptr=at_ptr, at_diag=at_f[0], at_dst=at_f[1], at_k=at_f[2],
-        as_ptr=as_ptr, as_i=as_f[0], as_j=as_f[1], as_dst=as_f[2],
-        au_ptr=au_ptr, au_dst=au_f[0], au_mr=au_f[1], au_mc=au_f[2],
-        au_svp=au_f[3], au_c=au_f[4],
-        cp_ptr=cp_ptr, cp_blk=np.asarray(cp_f[0]), cp_k=np.asarray(cp_f[1]),
-        ct_ptr=ct_ptr, ct_diag=np.asarray(ct_f[0]),
-        ct_dst=np.asarray(ct_f[1]), ct_k=np.asarray(ct_f[2]),
-        cs_ptr=cs_ptr, cs_i=np.asarray(cs_f[0]), cs_j=np.asarray(cs_f[1]),
-        cs_dst=np.asarray(cs_f[2]),
-        cu_ptr=cu_ptr, cu_dst=np.asarray(cu_f[0]),
-        cu_mr=np.asarray(cu_f[1]), cu_mc=np.asarray(cu_f[2]),
-        cu_svp=np.asarray(cu_f[3]), cu_c=np.asarray(cu_f[4]),
-        blk_n_local=blk_n_local,
-        srcvec_local=srcvec_local,
-        cmax=int(fplan.updbt_c.max()) if len(fplan.updbt_c) else 0,
-    )
     return MultiDeviceFactor(
-        part=part, nlevels=nlevels, tables=tables,
+        part=part, nlevels=nlevels, a_buckets=a_buckets,
+        c_buckets=c_buckets, fsolve=fsolve, srcvec_local=srcvec_local,
+        maps=fplan.maps, blk_n_local=blk_n_local,
+        cmax=int(fplan.updbt_c.max()) if len(fplan.updbt_c) else 0,
+        n=symb.n,
         asm_rowflat=asm_rowflat, asm_col=asm_col, asm_val_idx=asm_val_idx,
         top_rowflat=top_rowflat, top_col=top_col, top_val_idx=top_val_idx,
-        maps=fplan.maps, nb=nb,
+        nb=nb,
     )
 
 
 # ------------------------------------------------------------------------- #
-def make_sharded_factorize(md: MultiDeviceFactor, mesh, dtype):
-    """Build the jittable SPMD factorization step over mesh axis 'tree'."""
+# scan bodies (XLA; shared by phases A and C inside shard_map)
+# ------------------------------------------------------------------------- #
+
+def _factor_scan_phase(pool, buckets_dev, maps, blk_n, srcvec, cmax, nb,
+                       prec):
+    """Run one phase's bucket list (device-local slices, leading axis
+    peeled) with lax.scan per bucket — the multi-device twin of
+    ScanFactorExecutor._build's level body (numeric/factor_scan.py)."""
     import jax
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cmax = max(1, cmax)
+
+    def bmm_nt(x, y):
+        return jax.lax.dot_general(
+            x, y, (((2,), (2,)), ((0,), (0,))),
+            precision=prec, preferred_element_type=x.dtype)
+
+    from ..numeric.factor import _potrf_batch_blocked, _trsm_batch
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+
+    def level_body(pool, tb):
+        if "updbt_dst" in tb:
+            dst = tb["updbt_dst"]
+            pr = maps[tb["updbt_mr"]]
+            pc = maps[tb["updbt_mc"]]
+            svp = tb["updbt_svp"]
+            cv = tb["updbt_c"]
+            iot_c = jax.lax.broadcasted_iota(jnp.int32, (1, cmax), 1)
+            svi = jnp.minimum(svp[:, None] + iot_c, srcvec.shape[0] - 1)
+            sv = srcvec[svi]
+            kbm = iot_c < cv[:, None]
+            vr = pr >= 0
+            vc = (pc >= 0) & (iota < blk_n[dst][:, None])
+            poolf = pool.reshape(-1, nb)
+
+            def gathw(p, v):
+                val = v[:, :, None] & kbm[:, None, :]
+                fr = jnp.where(val,
+                               sv[:, None, :] * nb + p[:, :, None], 0)
+                g = poolf[fr] * val[..., None].astype(pool.dtype)
+                return g.reshape(g.shape[0], nb, cmax * nb)
+
+            pool = pool.at[dst].add(-bmm_nt(gathw(pr, vr), gathw(pc, vc)))
+        if "syrk_i" in tb:
+            u = bmm_nt(pool[tb["syrk_i"]], pool[tb["syrk_j"]])
+            pool = pool.at[tb["syrk_dst"]].add(-u)
+        if "potrf_blk" in tb:
+            blk = tb["potrf_blk"]
+            out = _potrf_batch_blocked(pool[blk], tb["potrf_k"], nb,
+                                       precision=prec)
+            pool = pool.at[blk].set(out)
+        if "trsm_diag" in tb:
+            out = _trsm_batch(pool[tb["trsm_diag"]], pool[tb["trsm_dst"]],
+                              tb["trsm_k"], nb)
+            pool = pool.at[tb["trsm_dst"]].set(out)
+        return pool, None
+
+    for bt in buckets_dev:
+        tb = {k: v for k, v in bt.items() if v.shape[1] > 0}
+        if not tb:
+            continue
+        pool, _ = jax.lax.scan(level_body, pool, tb)
+    return pool
+
+
+def _solve_scan_phase(pool, x, buckets_dev, n, nb, prec, forward):
+    """Level-scan solve phase (XLA path of solve_scan.ScanSolveExecutor)."""
+    import jax
+    import jax.numpy as jnp
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+
+    def sol_op(x, tb):
+        blk = tb["sol_blk"]
+        rows = tb["sol_rows"]
+        kvec = tb["sol_k"]
+        tiles = pool[blk]
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (1, nb, nb), 1)
+        coli = jax.lax.broadcasted_iota(jnp.int32, (1, nb, nb), 2)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+        k = kvec[:, None, None]
+        rvalid = (rows < n)[..., None].astype(x.dtype)
+        z = x[rows] * rvalid
+        m = tiles + ((rowi == coli) & (rowi >= k)).astype(tiles.dtype)
+        y = jax.lax.linalg.triangular_solve(
+            m, z, left_side=True, lower=True, transpose_a=not forward)
+        colmask = slot < kvec[:, None]
+        rows_set = jnp.where(colmask, rows, n)
+        x = x.at[rows_set].set(y * colmask[..., None].astype(x.dtype),
+                               mode="drop")
+        if forward:
+            bmask = (~colmask)[..., None].astype(x.dtype) * rvalid
+            rows_add = jnp.where(colmask, n, rows)
+            x = x.at[rows_add].add((y - z) * bmask, mode="drop")
+        return x
+
+    def upd_op(x, tb):
+        blk = tb["upd_blk"]
+        rows = tb["upd_rows"]
+        c0 = tb["upd_c0"][:, None]
+        kv = tb["upd_k"][:, None]
+        cmask = iota < kv
+        cidx = jnp.where(cmask, c0 + iota, n)
+        if forward:
+            y = x[cidx] * cmask[..., None].astype(x.dtype)
+            u = jax.lax.dot_general(
+                pool[blk], y, (((2,), (1,)), ((0,), (0,))),
+                precision=prec, preferred_element_type=x.dtype)
+            rmask = (rows < n)[..., None].astype(x.dtype)
+            x = x.at[rows].add(-u * rmask, mode="drop")
+        else:
+            rmask = (rows < n)[..., None].astype(x.dtype)
+            z = x[rows] * rmask
+            u = jax.lax.dot_general(
+                pool[blk], z, (((1,), (1,)), ((0,), (0,))),
+                precision=prec, preferred_element_type=x.dtype)
+            x = x.at[cidx].add(-u * cmask[..., None].astype(x.dtype),
+                               mode="drop")
+        return x
+
+    # sol and upd share bucket spans (built together), so one scan per
+    # bucket preserves the global level order with the fixed phase order
+    # inside a level (fwd: sol then upd; bwd: upd then sol)
+    for bt in buckets_dev:
+        tb = {k: v for k, v in bt.items() if v.shape[1] > 0}
+        has_sol = "sol_blk" in tb
+        has_upd = "upd_blk" in tb
+        if not (has_sol or has_upd):
+            continue
+
+        def body(x, tb2):
+            ts = {k: v for k, v in tb2.items() if k.startswith("sol_")}
+            tu = {k: v for k, v in tb2.items() if k.startswith("upd_")}
+            if forward:
+                if ts:
+                    x = sol_op(x, ts)
+                if tu:
+                    x = upd_op(x, tu)
+            else:
+                if tu:
+                    x = upd_op(x, tu)
+                if ts:
+                    x = sol_op(x, ts)
+            return x, None
+
+        x, _ = jax.lax.scan(body, x, tb)
+    return x
+
+
+# ------------------------------------------------------------------------- #
+def make_sharded_factorize(md: MultiDeviceFactor, mesh, dtype,
+                           precision="highest"):
+    """Jittable SPMD factorization step over mesh axis 'tree'.
+
+    step(pools, top_init) -> factored pools (sharded); pools
+    [ndev, nlocal*nb, nb] sharded, top_init [ntop*nb, nb] replicated.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
     from jax.experimental.shard_map import shard_map
 
     nb = md.nb
     part = md.part
-    nlev = md.nlevels
-    t = {k: jnp.asarray(v, dtype=jnp.int32)
-         for k, v in md.tables.items() if isinstance(v, np.ndarray)}
-    maps = jnp.asarray(md.maps, dtype=jnp.int32)
-    cmax = max(1, int(md.tables["cmax"]))
-
-    from ..numeric.factor import _potrf_batch, _trsm_batch
-
-    def bmm_nt(a, b):
-        return jax.lax.dot_general(
-            a, b, (((2,), (2,)), ((0,), (0,))),
-            precision="highest", preferred_element_type=a.dtype)
-
-    srcvec = t["srcvec_local"]
-
-    def run_levels(pool, blk_n, ptrs, arrs, prefix):
-        """Shared level loop for phase A (sharded) and C (replicated)."""
-        iota = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
-        p_ptr, t_ptr, s_ptr, u_ptr = ptrs
-        for lvl in range(0, nlev + 1):
-            s, e = int(u_ptr[lvl]), int(u_ptr[lvl + 1])
-            if e > s:
-                dst = arrs[prefix + "u_dst"][s:e]
-                pr = maps[arrs[prefix + "u_mr"][s:e]]
-                pc = maps[arrs[prefix + "u_mc"][s:e]]
-                svp = arrs[prefix + "u_svp"][s:e]
-                cv = arrs[prefix + "u_c"][s:e]
-                iot_c = jax.lax.broadcasted_iota(jnp.int32, (1, cmax), 1)
-                svi = jnp.minimum(svp[:, None] + iot_c,
-                                  srcvec.shape[0] - 1)
-                sv = srcvec[svi]
-                kbm = iot_c < cv[:, None]
-                vr = pr >= 0
-                vc = (pc >= 0) & (iota < blk_n[dst][:, None])
-                poolf = pool.reshape(-1, nb)
-
-                def gathw(p, v):
-                    val = v[:, :, None] & kbm[:, None, :]
-                    fr = jnp.where(val,
-                                   sv[:, None, :] * nb + p[:, :, None], 0)
-                    g = poolf[fr] * val[..., None].astype(pool.dtype)
-                    return g.reshape(g.shape[0], nb, cmax * nb)
-
-                pool = pool.at[dst].add(
-                    -bmm_nt(gathw(pr, vr), gathw(pc, vc)))
-            s, e = int(s_ptr[lvl]), int(s_ptr[lvl + 1])
-            if e > s:
-                si = arrs[prefix + "s_i"][s:e]
-                sj = arrs[prefix + "s_j"][s:e]
-                dst = arrs[prefix + "s_dst"][s:e]
-                pool = pool.at[dst].add(-bmm_nt(pool[si], pool[sj]))
-            s, e = int(p_ptr[lvl]), int(p_ptr[lvl + 1])
-            if e > s:
-                blk = arrs[prefix + "p_blk"][s:e]
-                out = _potrf_batch(pool[blk], arrs[prefix + "p_k"][s:e], nb)
-                pool = pool.at[blk].set(out)
-            s, e = int(t_ptr[lvl]), int(t_ptr[lvl + 1])
-            if e > s:
-                diag = arrs[prefix + "t_diag"][s:e]
-                dst = arrs[prefix + "t_dst"][s:e]
-                out = _trsm_batch(pool[diag], pool[dst],
-                                  arrs[prefix + "t_k"][s:e], nb)
-                pool = pool.at[dst].set(out)
-        return pool
-
     ntop = part.ntop
-    # per-device (sharded) phase-A tables, keyed "a<type>_<field>"
-    a_sharded = {k: v for k, v in t.items()
-                 if k.startswith("a") and not k.endswith("_ptr")}
-    a_names = sorted(a_sharded.keys())
+
+    def dev_tables(buckets):
+        return [{k: jnp.asarray(np.minimum(v, 2**31 - 1), jnp.int32)
+                 for k, v in b.items()} for b in buckets]
+
+    a_tabs = dev_tables(md.a_buckets)
+    c_tabs = dev_tables(md.c_buckets)
+    maps = jnp.asarray(md.maps, jnp.int32)
+    srcvec = jnp.asarray(md.srcvec_local, jnp.int32)
+    blk_n = jnp.asarray(md.blk_n_local, jnp.int32)
 
     def step(pools, top_init):
-        """pools: [ndev, nlocal*nb, nb] sharded on 'tree'; top_init
-        replicated [ntop*nb, nb].  Returns factored pools (sharded)."""
-
-        def inner(pool_shard, top_init, blk_n_shard, *a_tabs):
-            arrs = {n[1:]: a_tabs[i][0] for i, n in enumerate(a_names)}
+        def inner(pool_shard, top_init, blk_n_shard, srcvec_shard,
+                  a_shard):
             pool = pool_shard[0].reshape(part.nlocal, nb, nb)
             bn = blk_n_shard[0]
-            pool = run_levels(
-                pool, bn,
-                (md.tables["ap_ptr"], md.tables["at_ptr"],
-                 md.tables["as_ptr"], md.tables["au_ptr"]),
-                arrs, "")
-            # phase B: reduce top contributions, add assembled top values
+            sv = srcvec_shard[0]
+            a_local = [{k: v[0] for k, v in bt.items()} for bt in a_shard]
+            pool = _factor_scan_phase(pool, a_local, maps, bn, sv,
+                                      md.cmax, nb, precision)
             contrib = pool[:ntop] if ntop else pool[:0]
             top = jax.lax.psum(contrib, "tree")
             top = top + top_init.reshape(max(1, ntop), nb, nb)[:ntop]
             pool = pool.at[:ntop].set(top)
-            # phase C: replicated top factorization
-            carrs = {k[1:]: v for k, v in t.items() if k.startswith("c")}
-            pool = run_levels(
-                pool, bn,
-                (md.tables["cp_ptr"], md.tables["ct_ptr"],
-                 md.tables["cs_ptr"], md.tables["cu_ptr"]),
-                carrs, "")
+            c_local = [{k: v[0] for k, v in bt.items()} for bt in c_tabs]
+            pool = _factor_scan_phase(pool, c_local, maps, bn, sv,
+                                      md.cmax, nb, precision)
             return pool.reshape(1, part.nlocal * nb, nb)
 
-        in_specs = ([P("tree"), P(), P("tree")] +
-                    [P("tree")] * len(a_names))
-        fn = shard_map(inner, mesh=mesh,
-                       in_specs=tuple(in_specs), out_specs=P("tree"),
-                       check_rep=False)
-        return fn(pools, top_init, t["blk_n_local"],
-                  *[a_sharded[k] for k in a_names])
+        fn = shard_map(
+            inner, mesh=mesh,
+            in_specs=(P("tree"), P(), P("tree"), P("tree"),
+                      [{k: P("tree") for k in bt} for bt in a_tabs]),
+            out_specs=P("tree"), check_rep=False)
+        return fn(pools, top_init, blk_n, srcvec, a_tabs)
 
-    return step, t, a_sharded
+    return step
+
+
+def make_sharded_solve(md: MultiDeviceFactor, mesh, precision="highest"):
+    """Jittable SPMD fwd+bwd solve over mesh axis 'tree'.
+
+    step(pools, x) with pools sharded [ndev, nlocal*nb, nb] (factored)
+    and x replicated [n+1, nrhs]; returns the replicated solution panel.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    nb = md.nb
+    part = md.part
+    n = md.n
+
+    def dev_tables(buckets):
+        return [{k: jnp.asarray(np.minimum(v, 2**31 - 1), jnp.int32)
+                 for k, v in b.items()} for b in buckets]
+
+    tabs = {k: dev_tables(v) for k, v in md.fsolve.items()}
+
+    def peel(buckets):
+        return [{k: v[0] for k, v in bt.items()} for bt in buckets]
+
+    # replicated top tables are captured as constants ([1, ...] peeled)
+    fwd_c = peel(tabs["fwd_c"])
+    bwd_c = peel(tabs["bwd_c"])
+
+    def step(pools, x):
+        def inner(pool_shard, x, fwd_a, bwd_a):
+            pool = pool_shard[0].reshape(part.nlocal, nb, nb)
+            fa = [{k: v[0] for k, v in bt.items()} for bt in fwd_a]
+            ba = [{k: v[0] for k, v in bt.items()} for bt in bwd_a]
+            # ---- forward: local subtrees -> psum -> replicated top ----
+            x0 = x
+            xl = _solve_scan_phase(pool, x, fa, n, nb, precision, True)
+            x = x0 + jax.lax.psum(xl - x0, "tree")
+            x = _solve_scan_phase(pool, x, fwd_c, n, nb, precision, True)
+            # ---- backward: replicated top -> local subtrees -> psum ---
+            x = _solve_scan_phase(pool, x, bwd_c, n, nb, precision,
+                                  False)
+            x0 = x
+            xl = _solve_scan_phase(pool, x, ba, n, nb, precision, False)
+            x = x0 + jax.lax.psum(xl - x0, "tree")
+            return x
+
+        specs_a = [[{k: P("tree") for k in bt} for bt in tabs["fwd_a"]],
+                   [{k: P("tree") for k in bt} for bt in tabs["bwd_a"]]]
+        fn = shard_map(
+            inner, mesh=mesh,
+            in_specs=tuple([P("tree"), P()] + specs_a),
+            out_specs=P(), check_rep=False)
+        return fn(pools, x, tabs["fwd_a"], tabs["bwd_a"])
+
+    return step
 
 
 def reconstruct_global_pool(md: MultiDeviceFactor, pools, plan):
@@ -435,14 +646,13 @@ def reconstruct_global_pool(md: MultiDeviceFactor, pools, plan):
 
 
 # ------------------------------------------------------------------------- #
-def dryrun(n_devices: int) -> None:
-    """Create an n-device mesh, jit the full multi-device factorization
-    step with real tree shardings, run one step on tiny shapes, and check
-    the result against the sequential oracle."""
+def dryrun(n_devices: int, m: int = 16, nb: int = 8, nemin: int = 4,
+           grid3d: bool = False, check: bool = True) -> None:
+    """Create an n-device mesh, jit the full multi-device factorization +
+    solve step with real tree shardings, run it, and (optionally) check
+    factor and solution against the sequential oracle."""
     import os
 
-    # ensure enough virtual host devices exist before the CPU backend
-    # initialises (no-op if it is already up)
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -453,11 +663,10 @@ def dryrun(n_devices: int) -> None:
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    from .. import Options, analyse, poisson2d
-    from ..numeric.assemble import assemble_np
-    from ..numeric.stf import factorize_np
+    from .. import Options, analyse, poisson2d, poisson3d
     from ..plan.blocking import build_block_plan
     from ..plan.factor_tasks import build_factor_plan
+    from ..plan.solve_tasks import build_solve_plan
 
     devs = jax.devices()
     if len(devs) < n_devices:
@@ -467,30 +676,61 @@ def dryrun(n_devices: int) -> None:
         f"need {n_devices} devices, have {len(devs)}")
     mesh = Mesh(np.array(devs), ("tree",))
 
-    a = poisson2d(16)
-    opts = Options(ordering="nd-grid", grid_shape=(16, 16), nb=8, nemin=4,
-                   ndevices=n_devices, prune_tree=True)
+    if grid3d:
+        a = poisson3d(m)
+        opts = Options(ordering="nd-grid", grid_shape=(m,) * 3, nb=nb,
+                       nemin=nemin, ndevices=n_devices, prune_tree=True)
+    else:
+        a = poisson2d(m)
+        opts = Options(ordering="nd-grid", grid_shape=(m, m), nb=nb,
+                       nemin=nemin, ndevices=n_devices, prune_tree=True)
     symb = analyse(a, opts)
     plan = build_block_plan(symb, opts.nb)
     fplan = build_factor_plan(symb, plan)
-    md = build_multidevice_factor(symb, plan, fplan, n_devices)
+    splan = build_solve_plan(symb, plan)
+    md = build_multidevice_factor(symb, plan, fplan, n_devices,
+                                  splan=splan)
 
     dtype = np.float32
     pools_np, top_np = md.local_pools(symb.a_perm.values, dtype=dtype)
-    step, t, a_sharded = make_sharded_factorize(md, mesh, dtype)
+    fstep = make_sharded_factorize(md, mesh, dtype)
+    sstep = make_sharded_solve(md, mesh)
 
     pools = jax.device_put(
         jnp.asarray(pools_np), NamedSharding(mesh, P("tree")))
     top_init = jax.device_put(
         jnp.asarray(top_np), NamedSharding(mesh, P()))
-    jstep = jax.jit(step)
-    out = jstep(pools, top_init)
+    n = symb.n
+    rng = np.random.default_rng(0)
+    xt = rng.standard_normal((n, 2))
+    b = a.matvec(xt)
+    x0 = np.zeros((n + 1, 2), dtype=np.float32)
+    x0[:n] = b[symb.perm]
+
+    def full(pools, top_init, x0):
+        fp = fstep(pools, top_init)
+        return fp, sstep(fp, x0)
+
+    jfull = jax.jit(full)
+    out, xs = jfull(pools, top_init, jnp.asarray(x0))
     out.block_until_ready()
 
-    # verify against the sequential float64 oracle
-    g = reconstruct_global_pool(md, out, plan)
-    pool_ref = assemble_np(plan, symb.a_perm.values, dtype=np.float64)
-    pool_ref = factorize_np(pool_ref, fplan)
-    err = float(np.max(np.abs(g - pool_ref[:plan.nblocks])))
-    assert err < 1e-3, f"multi-device factor mismatch: {err}"
-    print(f"dryrun_multichip({n_devices}): max |Δpool| = {err:.2e} ok")
+    x = np.empty((n, 2))
+    x[symb.perm] = np.asarray(xs)[:n]
+    res = float(np.linalg.norm(a.matvec(x) - b)
+                / np.linalg.norm(b))
+    assert res < 1e-4, f"multi-device solve residual too large: {res}"
+    if check:
+        from ..numeric.assemble import assemble_np
+        from ..numeric.stf import factorize_np
+
+        g = reconstruct_global_pool(md, out, plan)
+        pool_ref = assemble_np(plan, symb.a_perm.values, dtype=np.float64)
+        pool_ref = factorize_np(pool_ref, fplan)
+        err = float(np.max(np.abs(g - pool_ref[:plan.nblocks])))
+        assert err < 1e-3, f"multi-device factor mismatch: {err}"
+        print(f"dryrun_multichip({n_devices}): max |Δpool| = {err:.2e}, "
+              f"solve residual = {res:.2e} ok")
+    else:
+        print(f"dryrun_multichip({n_devices}): solve residual = "
+              f"{res:.2e} ok")

@@ -36,7 +36,7 @@ def _factor_multidevice(ndev: int, m: int = 16, nb: int = 8):
     fplan = build_factor_plan(symb, plan)
     md = build_multidevice_factor(symb, plan, fplan, ndev)
     pools_np, top_np = md.local_pools(symb.a_perm.values, dtype=np.float32)
-    step, _, _ = make_sharded_factorize(md, mesh, np.float32)
+    step = make_sharded_factorize(md, mesh, np.float32)
     pools = jax.device_put(jnp.asarray(pools_np),
                            NamedSharding(mesh, P("tree")))
     top = jax.device_put(jnp.asarray(top_np), NamedSharding(mesh, P()))
@@ -80,4 +80,57 @@ def test_multidevice_deterministic_rerun():
 
 
 def test_dryrun_entrypoint():
+    # factor + distributed solve, checked against the oracle inside
     dryrun(2)
+
+
+@pytest.mark.parametrize("ndev", [2, 4])
+def test_multidevice_solve(ndev):
+    """Tree-partitioned solve matches the sequential oracle (the
+    reference never distributed its solve; SURVEY §2.9)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    import jax.numpy as jnp
+
+    from spllt_tpu.parallel.forest import make_sharded_solve
+    from spllt_tpu.plan.solve_tasks import build_solve_plan
+
+    devs = jax.devices("cpu")[:ndev]
+    mesh = Mesh(np.array(devs), ("tree",))
+    a = poisson2d(16)
+    opts = Options(ordering="nd-grid", grid_shape=(16, 16), nb=8,
+                   nemin=4, ndevices=ndev, prune_tree=True)
+    symb = analyse(a, opts)
+    plan = build_block_plan(symb, opts.nb)
+    fplan = build_factor_plan(symb, plan)
+    splan = build_solve_plan(symb, plan)
+    md = build_multidevice_factor(symb, plan, fplan, ndev, splan=splan)
+    pools_np, top_np = md.local_pools(symb.a_perm.values,
+                                      dtype=np.float32)
+    fstep = make_sharded_factorize(md, mesh, np.float32)
+    sstep = make_sharded_solve(md, mesh)
+    pools = jax.device_put(jnp.asarray(pools_np),
+                           NamedSharding(mesh, P("tree")))
+    top = jax.device_put(jnp.asarray(top_np), NamedSharding(mesh, P()))
+    fp = jax.jit(fstep)(pools, top)
+
+    n = symb.n
+    rng = np.random.default_rng(11)
+    xt = rng.standard_normal((n, 2))
+    b = a.matvec(xt)
+    x0 = np.zeros((n + 1, 2), dtype=np.float32)
+    x0[:n] = b[symb.perm]
+    xs = np.asarray(jax.jit(sstep)(fp, jnp.asarray(x0)))
+    x = np.empty((n, 2))
+    x[symb.perm] = xs[:n]
+    res = np.linalg.norm(a.matvec(x) - b) / np.linalg.norm(b)
+    assert res < 1e-4
+
+    # matches the sequential f64 oracle solve to f32 accuracy
+    from spllt_tpu.numeric.solve import solve_bwd_np, solve_fwd_np
+    ref_pool = assemble_np(plan, symb.a_perm.values, dtype=np.float64)
+    ref_pool = factorize_np(ref_pool, fplan)
+    ref_pool = np.concatenate(
+        [ref_pool, np.zeros((1,) + ref_pool.shape[1:])])
+    xr = solve_bwd_np(ref_pool, splan,
+                      solve_fwd_np(ref_pool, splan, np.float64(x0)))
+    np.testing.assert_allclose(xs[:n], xr[:n], rtol=2e-3, atol=2e-4)
