@@ -33,21 +33,31 @@ def _fetch(x):
 
 
 def bench_op(fn, args, reps=10):
-    """Time fn over distinct inputs (identical repeated executions can be
-    memoized by the remote-execution layer, giving impossible rates)."""
+    """Time ``reps`` executions chained DEVICE-SIDE inside one jit: each
+    rep's first float operand is perturbed by a value derived from the
+    previous rep's output, which (a) serializes real executions, (b)
+    defeats memoization, and (c) costs ONE dispatch + ONE fetch — on the
+    axon relay a per-rep dispatch costs ~30 ms, which would otherwise
+    swamp every kernel measured here (same trap as bench.py)."""
+    import jax
     import jax.numpy as jnp
 
-    variants = []
-    for i in range(reps):
-        scaled = [a * (1.0 + 1e-6 * (i + 1))
-                  if hasattr(a, "dtype") and a.dtype != jnp.int32 else a
-                  for a in args]
-        variants.append(tuple(scaled))
-    out = fn(*variants[0])
-    _fetch(out)
+    def chained(*a):
+        out = fn(*a)
+        for _ in range(reps - 1):
+            first = out[0] if isinstance(out, (tuple, list)) else out
+            probe = jnp.ravel(first)[0] * 1e-30
+            a = [x + probe.astype(x.dtype)
+                 if hasattr(x, "dtype")
+                 and jnp.issubdtype(x.dtype, jnp.floating) else x
+                 for x in a]
+            out = fn(*a)
+        return out
+
+    cf = jax.jit(chained)
+    _fetch(cf(*args))          # compile + first exec
     t0 = time.perf_counter()
-    outs = [fn(*v) for v in variants]
-    _fetch(outs[-1])
+    _fetch(cf(*args))
     return (time.perf_counter() - t0) / reps
 
 
@@ -74,8 +84,8 @@ def main(argv=None) -> int:
     print(f"# backend={jax.default_backend()} dtype={args.dtype} "
           f"precision={prec}", file=sys.stderr)
 
-    for nb in (64, 128, 256, 512):
-        for B in (1, 8, 64, 256):
+    for nb in (128, 256, 512):
+        for B in (8, 64, 256):
             if B * nb * nb * 4 > 2 ** 30:
                 continue
             a_np = rng.standard_normal((B, nb, nb)).astype(np.float32)

@@ -50,6 +50,16 @@ class NumericFactor:
 
 
 def _plans(symb: SymbolicFactor, options: Options):
+    """Plans for (symb, blocking options) — cached on the symbolic object
+    so repeated refactorizations (the reference's akeep-reuse pipeline,
+    doc/source/subroutines.rst:37-75) pay the plan build once."""
+    key = ("plans", options.nb, options.coarse_subtrees,
+           options.coarse_span, options.coarse_waste)
+    cache = getattr(symb, "_cache", None)
+    if cache is None:
+        cache = symb._cache = {}
+    if key in cache:
+        return cache[key]
     plan = build_block_plan(symb, options.nb)
     coarse = None
     if options.coarse_subtrees:
@@ -60,7 +70,8 @@ def _plans(symb: SymbolicFactor, options: Options):
                                   waste=options.coarse_waste)
     fplan = build_factor_plan(symb, plan, coarse=coarse)
     splan = build_solve_plan(symb, plan)
-    return plan, fplan, splan
+    cache[key] = (plan, fplan, splan)
+    return cache[key]
 
 
 def factor(symb: SymbolicFactor, a: CscMatrix | None = None,
@@ -103,8 +114,13 @@ def factor(symb: SymbolicFactor, a: CscMatrix | None = None,
             from .numeric.subtree import DenseSubtreeExecutor
 
             pool = DenseSubtreeExecutor(fplan, dtype=dtype)(pool, values)
-        ex = None
-        if options.schedule == "mega":
+        # executors are values-independent: cache per (symb, options) so
+        # the refactorization pipeline skips table/chunk rebuilds
+        ekey = ("fex", options.nb, options.schedule, options.dtype,
+                options.precision, options.pallas_updates,
+                options.pallas_hmax, options.coarse_subtrees)
+        ex = symb._cache.get(ekey)
+        if ex is None and options.schedule == "mega":
             try:
                 from .numeric.megakernel import MegaFactorExecutor
 
@@ -124,15 +140,21 @@ def factor(symb: SymbolicFactor, a: CscMatrix | None = None,
 
             ex = FactorExecutor(fplan, dtype=dtype,
                                 matmul_precision=options.precision)
+        symb._cache[ekey] = ex
         pool, notpos = ex(pool)
         pool.block_until_ready()
         # positive-definiteness flag computed in-graph (tiny transfer)
         if bool(notpos):
             raise NotPositiveDefiniteError()
 
+    sekey = ("sex", options.nb, options.schedule, options.dtype,
+             options.precision, options.pallas_updates)
+    solve_execs = (symb._cache.setdefault(sekey, {})
+                   if getattr(symb, "_cache", None) is not None else {})
     return NumericFactor(symb=symb, plan=plan, fplan=fplan, splan=splan,
                          pool=pool, values_perm=np.asarray(values),
-                         options=options, inform=inform)
+                         options=options, inform=inform,
+                         _solve_execs=solve_execs)
 
 
 def _permuted_values(symb: SymbolicFactor, a: CscMatrix) -> np.ndarray:
@@ -210,11 +232,13 @@ def _solve_refined_device(num: NumericFactor, bb: np.ndarray,
     if ell is None:
         ell = build_ell(symb.a_perm)
         symb._ell = ell
-    dev = num._solve_execs.get("_ell_dev")
+    # cached on the NumericFactor (NOT the shared executor cache: the
+    # ELL values change with every refactorization)
+    dev = getattr(num, "_ell_dev", None)
     if dev is None:
         dev = (jnp.asarray(ell_vals(ell, num.values_perm)),
                jnp.asarray(ell.idx))
-        num._solve_execs["_ell_dev"] = dev
+        num._ell_dev = dev
     vals64, idx = dev
 
     ex = _scan_executor(num, nrhs)

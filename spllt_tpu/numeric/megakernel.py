@@ -214,6 +214,37 @@ def build_mega_stream(fp, group: int, pool_rows: int,
         cur["relc"].append(relc.astype(np.int32))
         ntask += k
     flush()
+    return pad_chunks_uniform(chunks, group, nb, scratch)
+
+
+def pad_chunks_uniform(chunks, group: int, nb: int, scratch: int):
+    """Pad every chunk's stream to the max step count with no-op UPD
+    runs against the scratch tile, so ALL chunks share one static shape
+    and compile to ONE pallas program (49 chunks at Poisson 64³ would
+    otherwise each compile separately: ~minutes per program)."""
+    if len(chunks) <= 1:
+        return chunks
+    tmax = max(len(c["kind"]) for c in chunks)
+    for c in chunks:
+        pad = tmax - len(c["kind"])
+        if pad == 0:
+            continue
+        k = pad * group
+        c["kind"] = np.concatenate(
+            [c["kind"], np.zeros(pad, np.int32)])        # KIND_UPD
+        c["drain"] = np.concatenate(
+            [c["drain"], np.ones(1, np.int32),
+             np.zeros(pad - 1, np.int32)])
+        for nm in ("wr", "wc", "dst"):
+            c[nm] = np.concatenate(
+                [c[nm], np.full(k, scratch, np.int32)])
+        # blkn=0 | first | last per padded task (own dest group each)
+        aux_pad = np.full(k, (1 << _BLKN_BITS) | (1 << (_BLKN_BITS + 1)),
+                          np.int32)
+        c["aux"] = np.concatenate([c["aux"], aux_pad])
+        for nm in ("relr", "relc"):
+            c[nm] = np.concatenate(
+                [c[nm], np.full((k, nb), -1, np.int32)], axis=0)
     return chunks
 
 

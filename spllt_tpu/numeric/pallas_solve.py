@@ -40,7 +40,7 @@ def _i0():
 
 
 def solve_tiles_body(y_ref, lmat, z, kv, *, nb, nrhs, transpose, group,
-                     pb=8):
+                     pb=8, kvmax=None):
     """8-row substitution panels over [G, nb, nrhs] right-hand sides.
 
     ``lmat`` [G, nb, nb] lower tiles, ``z`` [G, nb, nrhs], ``kv``
@@ -48,6 +48,14 @@ def solve_tiles_body(y_ref, lmat, z, kv, *, nb, nrhs, transpose, group,
     ``y_ref`` a [G, nb, nrhs] VMEM scratch.  Returns y solving
     (L + I_pad) y = z, or its transpose.  Shared by the standalone
     level kernel below and the solve megakernel's SOL/SOLT bodies.
+
+    ``kvmax`` (optional scalar = max(kv) over the group): panels whose
+    rows all lie at or beyond kvmax only need the rank-pb MXU update
+    (the [B, I] rows carry no pivots — their per-row elimination steps
+    are exact no-ops), so the serialized row loop is skipped for them.
+    Leaf tiles (kv << nb) then run ~kv/pb row loops instead of nb/pb —
+    the same trick as the factor potrf's panel skipping
+    (pallas_potrf.potrf_tiles_body).
     """
     if transpose:
         lmat = jnp.swapaxes(lmat, 1, 2)          # solve Lᵀy = z by rows
@@ -59,26 +67,35 @@ def solve_tiles_body(y_ref, lmat, z, kv, *, nb, nrhs, transpose, group,
     panels = range(nb - pb, -1, -pb) if transpose else range(0, nb, pb)
     for p0 in panels:
         lp = lmat[:, p0:p0 + pb, :]              # [G, pb, nb]
-        acc = (z[:, p0:p0 + pb, :]
-               - jax.lax.dot_general(lp, y_ref[...],
-                                     (((2,), (1,)), ((0,), (0,))),
-                                     precision=hi,
-                                     preferred_element_type=f32))
-        steps = range(pb - 1, -1, -1) if transpose else range(pb)
-        for jj in steps:
-            j = p0 + jj
-            lrow = lp[:, jj:jj + 1, :]
-            piv = jnp.sum(lrow * (coli == j).astype(f32), axis=2,
-                          keepdims=True)
-            inv = 1.0 / jnp.where(j < kv, piv, jnp.ones((), f32))
-            row = acc[:, jj:jj + 1, :] * inv     # [G, 1, nrhs]
-            lcol = jnp.sum(lp * (coli == j).astype(f32), axis=2,
-                           keepdims=True)        # [G, pb, 1]
-            rem = (sub8 < jj) if transpose else (sub8 > jj)
-            acc = (acc * (1.0 - (sub8 == jj).astype(f32))
-                   + row * (sub8 == jj).astype(f32)
-                   - lcol * row * rem.astype(f32))
-        y_ref[:, p0:p0 + pb, :] = acc
+        acc0 = (z[:, p0:p0 + pb, :]
+                - jax.lax.dot_general(lp, y_ref[...],
+                                      (((2,), (1,)), ((0,), (0,))),
+                                      precision=hi,
+                                      preferred_element_type=f32))
+        y_ref[:, p0:p0 + pb, :] = acc0           # final for rows >= kv
+
+        def row_loop(p0=p0, lp=lp, acc0=acc0):
+            acc = acc0
+            steps = range(pb - 1, -1, -1) if transpose else range(pb)
+            for jj in steps:
+                j = p0 + jj
+                lrow = lp[:, jj:jj + 1, :]
+                piv = jnp.sum(lrow * (coli == j).astype(f32), axis=2,
+                              keepdims=True)
+                inv = 1.0 / jnp.where(j < kv, piv, jnp.ones((), f32))
+                row = acc[:, jj:jj + 1, :] * inv     # [G, 1, nrhs]
+                lcol = jnp.sum(lp * (coli == j).astype(f32), axis=2,
+                               keepdims=True)        # [G, pb, 1]
+                rem = (sub8 < jj) if transpose else (sub8 > jj)
+                acc = (acc * (1.0 - (sub8 == jj).astype(f32))
+                       + row * (sub8 == jj).astype(f32)
+                       - lcol * row * rem.astype(f32))
+            y_ref[:, p0:p0 + pb, :] = acc
+
+        if kvmax is None:
+            row_loop()
+        else:
+            pl.when(p0 < kvmax)(row_loop)
     return y_ref[...]
 
 
@@ -87,11 +104,13 @@ def _kernel(kv_ref, t_ref, z_ref, o_ref, y_ref, *, nb, nrhs, transpose,
     g0 = pl.program_id(0) * group
     gi = jax.lax.broadcasted_iota(jnp.int32, (group, 1, 1), 0)
     kv = jnp.zeros((group, 1, 1), jnp.int32)
+    kvmax = kv_ref[g0]
     for i in range(group):
         kv = jnp.where(gi == i, kv_ref[g0 + i], kv)
+        kvmax = jnp.maximum(kvmax, kv_ref[g0 + i])
     o_ref[...] = solve_tiles_body(y_ref, t_ref[...], z_ref[...], kv,
                                   nb=nb, nrhs=nrhs, transpose=transpose,
-                                  group=group, pb=pb)
+                                  group=group, pb=pb, kvmax=kvmax)
 
 
 def pallas_left_solve(tiles, z, kvec, nb: int, transpose: bool,

@@ -157,6 +157,29 @@ def chunk_solve_runs(runs, group: int, nb: int, work_scratch: int,
             cur["rel"].append(rel[sl])
             ntask += s1 - s0
     flush()
+    # pad chunks to one static shape -> ONE pallas program for all
+    # chunks of a direction (same trick as megakernel.pad_chunks_uniform)
+    if len(chunks) > 1:
+        tmax = max(len(c["kind"]) for c in chunks)
+        for c in chunks:
+            pad = tmax - len(c["kind"])
+            if pad == 0:
+                continue
+            k = pad * group
+            c["kind"] = np.concatenate(
+                [c["kind"], np.full(pad, KIND_ADDG, np.int32)])
+            c["drain"] = np.concatenate(
+                [c["drain"], np.ones(1, np.int32),
+                 np.zeros(pad - 1, np.int32)])
+            c["wA"] = np.concatenate(
+                [c["wA"], np.full(k, pool_scratch, np.int32)])
+            for nm in ("wS", "dst"):
+                c[nm] = np.concatenate(
+                    [c[nm], np.full(k, work_scratch, np.int32)])
+            c["aux"] = np.concatenate(
+                [c["aux"], np.full(k, 3, np.int32)])   # first|last
+            c["rel"] = np.concatenate(
+                [c["rel"], np.full((k, nb), -1, np.int32)], axis=0)
     return chunks
 
 
@@ -183,7 +206,7 @@ def _kernel(kind_ref, drain_ref, wa_ref, ws_ref, dst_ref, aux_ref,
     def start_wins(s, step):
         for i in range(group):
             pltpu.make_async_copy(
-                out_hbm.at[:, pl.ds(ws_ref[step * group + i], nb)],
+                out_hbm.at[:, pl.ds(ws_ref[step * group + i] * jnp.int32(nb), nb)],
                 winb.at[s, i], semb.at[s, i]).start()
 
         @pl.when(kind_ref[step] >= jnp.int32(KIND_MM))
@@ -195,7 +218,7 @@ def _kernel(kind_ref, drain_ref, wa_ref, ws_ref, dst_ref, aux_ref,
 
     def wait_write(p):
         pltpu.make_async_copy(
-            dtile.at[p], out_hbm.at[:, pl.ds(gstate[1 + p], nb)],
+            dtile.at[p], out_hbm.at[:, pl.ds(gstate[1 + p] * jnp.int32(nb), nb)],
             semd_w.at[p]).wait()
         gstate[1 + p] = jnp.int32(-1)
 
@@ -221,7 +244,7 @@ def _kernel(kind_ref, drain_ref, wa_ref, ws_ref, dst_ref, aux_ref,
 
     for i in range(group):
         pltpu.make_async_copy(
-            out_hbm.at[:, pl.ds(ws_ref[t * group + i], nb)],
+            out_hbm.at[:, pl.ds(ws_ref[t * group + i] * jnp.int32(nb), nb)],
             winb.at[slot, i], semb.at[slot, i]).wait()
 
     kind = kind_ref[t]
@@ -249,7 +272,7 @@ def _kernel(kind_ref, drain_ref, wa_ref, ws_ref, dst_ref, aux_ref,
                 def _():
                     wait_write(p)
                 pltpu.make_async_copy(
-                    out_hbm.at[:, pl.ds(dst_ref[gi_], nb)], dtile.at[p],
+                    out_hbm.at[:, pl.ds(dst_ref[gi_] * jnp.int32(nb), nb)], dtile.at[p],
                     semd_r.at[p]).start()
 
             @pl.when(first)
@@ -264,14 +287,14 @@ def _kernel(kind_ref, drain_ref, wa_ref, ws_ref, dst_ref, aux_ref,
             def _():
                 p = jax.lax.rem(gstate[0] - jnp.int32(1), jnp.int32(2))
                 pltpu.make_async_copy(
-                    out_hbm.at[:, pl.ds(dst_ref[gi_], nb)], dtile.at[p],
+                    out_hbm.at[:, pl.ds(dst_ref[gi_] * jnp.int32(nb), nb)], dtile.at[p],
                     semd_r.at[p]).wait()
                 if sign > 0:
                     dtile[p] += acc[:, :]
                 else:
                     dtile[p] -= acc[:, :]
                 pltpu.make_async_copy(
-                    dtile.at[p], out_hbm.at[:, pl.ds(dst_ref[gi_], nb)],
+                    dtile.at[p], out_hbm.at[:, pl.ds(dst_ref[gi_] * jnp.int32(nb), nb)],
                     semd_w.at[p]).start()
                 gstate[1 + p] = dst_ref[gi_]
 
@@ -308,26 +331,29 @@ def _kernel(kind_ref, drain_ref, wa_ref, ws_ref, dst_ref, aux_ref,
         vals = [jnp.bitwise_and(aux_ref[t * group + i], jnp.int32(4095))
                 for i in range(group)]
         kv = scalars_to_vec(vals, group)
+        kvmax = vals[0]
+        for v in vals[1:]:
+            kvmax = jnp.maximum(kvmax, v)
         z = jnp.swapaxes(winb[slot], 1, 2)       # [G, nb, nr]
         y = solve_tiles_body(yscr, wina[slot], z, kv, nb=nb,
                              nrhs=nr, transpose=transpose, group=group,
-                             pb=pb)
+                             pb=pb, kvmax=kvmax)
         winb[slot] = jnp.swapaxes(y, 1, 2)       # [G, nr, nb]
         for i in range(group):
             gi_ = t * group + i
             pltpu.make_async_copy(
-                winb.at[slot, i], out_hbm.at[:, pl.ds(ws_ref[gi_], nb)],
+                winb.at[slot, i], out_hbm.at[:, pl.ds(ws_ref[gi_] * jnp.int32(nb), nb)],
                 semw.at[i, 0]).start()
             pltpu.make_async_copy(
-                winb.at[slot, i], out_hbm.at[:, pl.ds(dst_ref[gi_], nb)],
+                winb.at[slot, i], out_hbm.at[:, pl.ds(dst_ref[gi_] * jnp.int32(nb), nb)],
                 semw.at[i, 1]).start()
         for i in range(group):
             gi_ = t * group + i
             pltpu.make_async_copy(
-                winb.at[slot, i], out_hbm.at[:, pl.ds(ws_ref[gi_], nb)],
+                winb.at[slot, i], out_hbm.at[:, pl.ds(ws_ref[gi_] * jnp.int32(nb), nb)],
                 semw.at[i, 0]).wait()
             pltpu.make_async_copy(
-                winb.at[slot, i], out_hbm.at[:, pl.ds(dst_ref[gi_], nb)],
+                winb.at[slot, i], out_hbm.at[:, pl.ds(dst_ref[gi_] * jnp.int32(nb), nb)],
                 semw.at[i, 1]).wait()
 
     @pl.when(kind == jnp.int32(KIND_SOL))
@@ -483,10 +509,21 @@ class MegaSolveExecutor:
         self._full_fn = jax.jit(full_fn, donate_argnums=(1,))
         self._refined_fns = {}
 
-    @staticmethod
-    def _dev(chunks):
-        return [{k: jnp.asarray(v) for k, v in ch.items()}
-                for ch in chunks]
+    def _dev(self, chunks):
+        # wS/dst carry WINDOW INDICES (row base / nb): the kernel
+        # multiplies back so Mosaic can prove the lane-dim slice bases
+        # are 128-divisible (raw table values cannot be proven aligned)
+        nb = self.nb
+        out = []
+        for ch in chunks:
+            d = {}
+            for k, v in ch.items():
+                if k in ("wS", "dst"):
+                    assert np.all(v % nb == 0)
+                    v = v // nb
+                d[k] = jnp.asarray(v)
+            out.append(d)
+        return out
 
     # ------------------------------------------------------------------ #
     def fwd(self, pool, x):

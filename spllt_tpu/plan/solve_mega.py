@@ -139,8 +139,11 @@ def _assemble_runs(addg, mm, sol, mm_kind, sol_kind, nb, scratch_pool):
         tasks.append((L * 4 + _PH_MM, mm_kind, wA, wS, dst, 0, zrel))
     for (L, wA, wS, dst, k) in sol:
         tasks.append((L * 4 + _PH_SOL, sol_kind, wA, wS, dst, k, zrel))
-    # stable sort by (key, dst): dest grouping for the RMW pipeline
-    tasks.sort(key=lambda t: (t[0], t[4]))
+    # stable sort by (key, -k, dst): dest grouping for the RMW pipeline;
+    # SOL runs additionally sort by descending column count so groups
+    # share a small kvmax and the substitution body's panel skipping
+    # pays off (ADD kinds have aux = 0, unaffected)
+    tasks.sort(key=lambda t: (t[0], -t[5], t[4]))
     runs = []
     i = 0
     while i < len(tasks):

@@ -16,7 +16,8 @@ import numpy as np
 
 from .csc import CscMatrix
 
-__all__ = ["read_matrix_market", "read_rutherford_boeing", "read_matrix"]
+__all__ = ["read_matrix_market", "read_rutherford_boeing", "read_matrix",
+           "write_matrix_market", "write_rutherford_boeing"]
 
 
 def _open(path: str):
@@ -132,6 +133,21 @@ def _force_diag_dominant(a: CscMatrix) -> None:
     np.add.at(dom, a.rowind[off], absv[off])
     np.add.at(dom, cols[off], absv[off])
     a.values[a.colptr[:-1]] = dom + 1.0
+
+
+def write_matrix_market(path: str, a: CscMatrix) -> None:
+    """Write the lower-triangle CSC as a symmetric coordinate .mtx file
+    (interchange parity with the reference's ``--mm`` path,
+    /root/reference/src/spllt_mod.F90:426-495; the Poisson sweep scripts
+    generate exactly this format, aux/run_tests_poisson3d.sh)."""
+    n = a.n
+    nnz = int(a.colptr[-1])
+    cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(a.colptr))
+    body = np.column_stack([a.rowind + 1, cols + 1, a.values])
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real symmetric\n")
+        f.write(f"{n} {n} {nnz}\n")
+        np.savetxt(f, body, fmt="%d %d %.18e")
 
 
 def write_rutherford_boeing(path: str, a: CscMatrix,

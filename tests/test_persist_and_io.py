@@ -102,6 +102,21 @@ def test_rb_roundtrip(tmp_path):
     np.testing.assert_allclose(a.values, b.values, rtol=0, atol=0)
 
 
+def test_mm_roundtrip(tmp_path):
+    """MatrixMarket writer ↔ reader round trip preserves everything."""
+    from spllt_tpu import fem3d
+    from spllt_tpu.sparse.io import (read_matrix_market,
+                                     write_matrix_market)
+
+    a = fem3d(5, dofs=2, seed=4)
+    p = str(tmp_path / "m.mtx")
+    write_matrix_market(p, a)
+    b = read_matrix_market(p, force_posdef=False)
+    np.testing.assert_array_equal(a.colptr, b.colptr)
+    np.testing.assert_array_equal(a.rowind, b.rowind)
+    np.testing.assert_allclose(a.values, b.values, rtol=0, atol=0)
+
+
 def test_fem3d_solvable():
     """The FEM-class fixture factors and solves to f64 accuracy."""
     from spllt_tpu import Options, analyse, factor, fem3d, make_rhs, solve
