@@ -32,33 +32,50 @@ def _fetch(x):
     return float(np.asarray(x)[(0,) * x.ndim])
 
 
-def bench_op(fn, args, reps=10):
-    """Time ``reps`` executions chained DEVICE-SIDE inside one jit: each
-    rep's first float operand is perturbed by a value derived from the
-    previous rep's output, which (a) serializes real executions, (b)
-    defeats memoization, and (c) costs ONE dispatch + ONE fetch — on the
-    axon relay a per-rep dispatch costs ~30 ms, which would otherwise
-    swamp every kernel measured here (same trap as bench.py)."""
+def bench_op(fn, args):
+    """Time executions chained DEVICE-SIDE in one jit via a dynamic-length
+    fori_loop: each rep's float operands are perturbed by a value derived
+    from the previous rep's output, which (a) serializes real executions,
+    (b) defeats memoization, and (c) costs ONE dispatch + ONE fetch.  The
+    kernels here are micro- to milli-second scale while an axon-relay
+    dispatch+fetch costs ~100-150 ms, so even a chained call stays
+    overhead-dominated; the reported time is the DIFFERENCE between a
+    2*reps-chain call and a reps-chain call (same compiled program,
+    dynamic trip count), which cancels the constant relay overhead."""
     import jax
     import jax.numpy as jnp
 
-    def chained(*a):
-        out = fn(*a)
-        for _ in range(reps - 1):
+    def chained(n, *a):
+        def body(_, a):
+            out = fn(*a)
             first = out[0] if isinstance(out, (tuple, list)) else out
             probe = jnp.ravel(first)[0] * 1e-30
-            a = [x + probe.astype(x.dtype)
-                 if hasattr(x, "dtype")
-                 and jnp.issubdtype(x.dtype, jnp.floating) else x
-                 for x in a]
-            out = fn(*a)
-        return out
+            return tuple(
+                x + probe.astype(x.dtype)
+                if hasattr(x, "dtype")
+                and jnp.issubdtype(x.dtype, jnp.floating) else x
+                for x in a)
+        a = jax.lax.fori_loop(0, n, body, tuple(a))
+        for x in a:
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype,
+                                                      jnp.floating):
+                return jnp.ravel(x)[0]
+        raise AssertionError("no float operand to fetch")
+
+    def timed(n):
+        t0 = time.perf_counter()
+        _fetch(cf(n, *args))
+        return time.perf_counter() - t0
 
     cf = jax.jit(chained)
-    _fetch(cf(*args))          # compile + first exec
-    t0 = time.perf_counter()
-    _fetch(cf(*args))
-    return (time.perf_counter() - t0) / reps
+    _fetch(cf(8, *args))             # compile + first exec
+    # pilot: pick reps so the measured window holds ~1.5 s of real kernel
+    # work (bounded), whatever the kernel's speed
+    est = max((timed(8) - 0.10) / 8, 2e-5)
+    reps = int(min(max(1.5 / est, 8), 2000))
+    t1 = min(timed(reps), timed(reps))
+    t2 = min(timed(2 * reps), timed(2 * reps))
+    return max(t2 - t1, 1e-9) / reps
 
 
 def main(argv=None) -> int:

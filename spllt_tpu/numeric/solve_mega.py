@@ -446,12 +446,13 @@ class MegaSolveExecutor:
         nr = max(8, -(-nrhs // 8) * 8)
         self.nr = nr
         if group is None:
-            group = 2 if self._interpret else 16
-            if not self._interpret:
-                # VMEM: 2 double-buffered pool window sets dominate
-                while group > 4 and 4 * group * self.nb * (
-                        2 * self.nb + 3 * nr) > 10 * 2**20:
-                    group //= 2
+            # measured on TPU v5e (32^3 nb=128 nemin=192, fwd+bwd):
+            #   nr=8:  G=16 17.6 ms, G=8 18.2, G=32 70.8 (VMEM-bound)
+            #   nr=64: G=8 60.3 ms,  G=16 96.2, G=32 142
+            # wide rhs panels blow the window VMEM budget, so shrink the
+            # group as nr grows; Pallas needs the (group, nb) rel block's
+            # sublane dim divisible by 8, so 8 is the floor.
+            group = 2 if self._interpret else (16 if nr <= 8 else 8)
         self._group = group
         self._prec = (jax.lax.Precision.HIGHEST
                       if matmul_precision in ("highest", "high")
