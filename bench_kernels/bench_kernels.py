@@ -101,6 +101,22 @@ def main(argv=None) -> int:
     print(f"# backend={jax.default_backend()} dtype={args.dtype} "
           f"precision={prec}", file=sys.stderr)
 
+    def record(name, nb, B, fn, fargs, fl):
+        """Bench one kernel; a compile failure (e.g. VMEM OOM at large
+        nb) records an 'oom' row instead of killing the sweep, and the
+        CSV is rewritten after every row so a crash loses nothing."""
+        try:
+            t = bench_op(fn, fargs)
+            rows.append(f"{name},{nb},{B},{t*1e3:.3f},{fl/t/1e9:.1f}")
+        except Exception as e:  # noqa: BLE001 - surface and continue
+            rows.append(f"{name},{nb},{B},oom,0")
+            print(f"# {name},{nb},{B}: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr)
+        print(rows[-1], file=sys.stderr)
+        if args.csv:
+            with open(args.csv, "w") as f:
+                f.write("\n".join(rows) + "\n")
+
     for nb in (128, 256, 512):
         for B in (8, 64, 256):
             if B * nb * nb * 4 > 2 ** 30:
@@ -117,48 +133,33 @@ def main(argv=None) -> int:
             gemm = jax.jit(lambda x, y: jax.lax.dot_general(
                 x, y, (((2,), (2,)), ((0,), (0,))), precision=prec,
                 preferred_element_type=x.dtype))
-            t = bench_op(gemm, (a, b))
-            fl = 2 * B * nb ** 3
-            rows.append(f"gemm_nt,{nb},{B},{t*1e3:.3f},{fl/t/1e9:.1f}")
+            record("gemm_nt", nb, B, gemm, (a, b), 2 * B * nb ** 3)
 
             potrf = jax.jit(lambda x, kk: _potrf_batch(x, kk, nb))
-            t = bench_op(potrf, (spd_d, k))
-            fl = B * nb ** 3 / 3
-            rows.append(f"potrf,{nb},{B},{t*1e3:.3f},{fl/t/1e9:.1f}")
+            record("potrf", nb, B, potrf, (spd_d, k), B * nb ** 3 / 3)
 
             trsm = jax.jit(lambda d, x, kk: _trsm_batch(d, x, kk, nb))
             chol = jax.jit(lambda x: jax.lax.linalg.cholesky(x))(spd_d)
-            t = bench_op(trsm, (chol, b, k))
-            fl = B * nb ** 3
-            rows.append(f"trsm,{nb},{B},{t*1e3:.3f},{fl/t/1e9:.1f}")
-            print(rows[-3], file=sys.stderr)
-            print(rows[-2], file=sys.stderr)
-            print(rows[-1], file=sys.stderr)
+            record("trsm", nb, B, trsm, (chol, b, k), B * nb ** 3)
 
             if nb % 128 == 0 and args.dtype == "float32":
-                gp = max(1, min(8, B, 1024 // nb))
+                # cap the group so the kernels' (group, nb, nb) window
+                # sets stay within the ~16 MB/core VMEM budget (nb=512
+                # at group=2 measured 16.04M > 16M: OOM)
+                gp = max(1, min(8, B, 1024 // nb,
+                                (8 * 2 ** 20) // (6 * nb * nb * 4)))
                 if B % gp == 0:
                     pp = jax.jit(lambda x, kk: pallas_potrf_batch(
                         x, kk, nb, group=gp))
-                    t = bench_op(pp, (spd_d, k))
-                    fl = B * nb ** 3 / 3
-                    rows.append(f"potrf_pallas,{nb},{B},{t*1e3:.3f},"
-                                f"{fl/t/1e9:.1f}")
+                    record("potrf_pallas", nb, B, pp, (spd_d, k),
+                           B * nb ** 3 / 3)
                     pt = jax.jit(lambda d, x, kk: pallas_trsm_batch(
                         d, x, kk, nb, group=gp))
-                    t = bench_op(pt, (chol, b, k))
-                    fl = B * nb ** 3
-                    rows.append(f"trsm_pallas,{nb},{B},{t*1e3:.3f},"
-                                f"{fl/t/1e9:.1f}")
-                    print(rows[-2], file=sys.stderr)
-                    print(rows[-1], file=sys.stderr)
+                    record("trsm_pallas", nb, B, pt, (chol, b, k),
+                           B * nb ** 3)
 
-    text = "\n".join(rows)
-    if args.csv:
-        with open(args.csv, "w") as f:
-            f.write(text + "\n")
-    else:
-        print(text)
+    if not args.csv:
+        print("\n".join(rows))
     return 0
 
 

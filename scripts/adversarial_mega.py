@@ -29,16 +29,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
+_CACHE = {}
+
+
 def _problem(nb=128):
+    # mode='stf': the factorization oracle runs as sequential NumPy on
+    # the HOST (numeric/stf.py) — compiling the scan executor on TPU
+    # just to produce a reference pool costs ~10+ min of device compile
+    # for zero extra coverage.
+    if nb in _CACHE:
+        return _CACHE[nb]
     from spllt_tpu import Options, analyse, factor, poisson2d
 
     mat = poisson2d(48)
-    options = Options(mode="batched", dtype="float32", refine=0,
-                      schedule="scan", ordering="amd", nb=nb, nemin=32,
+    options = Options(mode="stf", dtype="float32", refine=0,
+                      ordering="amd", nb=nb, nemin=32,
                       prune_tree=False)
     symb = analyse(mat, options)
     num = factor(symb)
-    return mat, symb, num
+    _CACHE[nb] = (mat, symb, num)
+    return _CACHE[nb]
 
 
 def factor_adversarial(kmax, group):
