@@ -115,8 +115,10 @@ def main() -> int:
 
     jvalues = jnp.asarray(values)
 
+    # megakernel chunk tables must be jit ARGUMENTS (embedding them as
+    # trace constants ships >600 MB of HLO at 64³ → remote-compile 413)
     @jax.jit
-    def chain_step(v, s):
+    def chain_step_impl(v, s, chunks):
         vp = v * (1.0 + 1e-7 * s)
         pool = assemble_jax(plan, vp, jnp.float32)
         if dense_ex is not None:
@@ -125,9 +127,14 @@ def main() -> int:
             pool, notpos = ex._fn(pool, ex.maps, ex.blk_n, ex.srcvec,
                                   ex._bucket_tables)
         else:
-            pool, notpos = ex._fn(pool)
+            pool, notpos = ex._run(pool, chunks)
         return (s + 1.0 + notpos.astype(jnp.float32)
                 + pool[0, 0, 0] * jnp.float32(1e-30))
+
+    ex_chunks = getattr(ex, "chunks_dev", ())
+
+    def chain_step(v, s):
+        return chain_step_impl(v, s, ex_chunks)
 
     s = chain_step(jvalues, jnp.float32(1.0))
     float(s)   # compile + first exec of the chained step

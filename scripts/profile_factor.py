@@ -70,12 +70,15 @@ def main(argv=None) -> int:
                   file=sys.stderr)
 
             @jax.jit
-            def chain_step(v, s):
+            def chain_impl(v, s, chunks):
                 pool = assemble_jax(plan, v * (1.0 + 1e-7 * s),
                                     jnp.float32)
-                pool, notpos = ex._fn(pool)
+                pool, notpos = ex._run(pool, chunks)
                 return (s + 1.0 + notpos.astype(jnp.float32)
                         + pool[0, 0, 0] * jnp.float32(1e-30))
+
+            def chain_step(v, s):
+                return chain_impl(v, s, ex.chunks_dev)
         else:
             ex = ScanFactorExecutor(fplan, dtype=jnp.float32,
                                     matmul_precision=args.precision,

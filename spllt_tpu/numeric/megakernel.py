@@ -516,22 +516,29 @@ class MegaFactorExecutor:
                       if matmul_precision == "highest"
                       else jax.lax.Precision.HIGH)
         self.chunks = build_mega_stream(fp, self._group, self.pool_rows)
+        # chunk tables live on device and are passed as jit ARGUMENTS:
+        # closing over them would embed ~O(tasks*nb) int32 tables as HLO
+        # constants — at Poisson 64³ that is >600 MB of constants and the
+        # remote compile service rejects the request (HTTP 413)
+        self.chunks_dev = [{k: jnp.asarray(v) for k, v in ch.items()}
+                           for ch in self.chunks]
         njit = functools.partial(mega_factorize, nb=self.nb,
                                  group=self._group,
                                  interpret=self._interpret,
                                  precision=self._prec)
 
-        def run(pool_ext):
+        def run(pool_ext, chunks):
             poolf = pool_ext.reshape(-1, self.nb)
-            poolf = njit(poolf, self.chunks)
+            poolf = njit(poolf, chunks)
             pool = poolf.reshape(pool_ext.shape)
             notpos = jnp.isnan(jnp.sum(pool[:, 0, 0]))
             return pool, notpos
 
-        self._fn = jax.jit(run, donate_argnums=(0,))
+        self._run = run     # raw: callers embedding this in a larger jit
+        self._jit = jax.jit(run, donate_argnums=(0,))
 
     def __call__(self, pool):
         pool = jnp.asarray(pool, dtype=jnp.float32)
         assert pool.shape[0] == self.fp.nblocks + 1, \
             "pool must include the trailing scratch block"
-        return self._fn(pool)
+        return self._jit(pool, self.chunks_dev)

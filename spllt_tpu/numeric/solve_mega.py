@@ -481,26 +481,29 @@ class MegaSolveExecutor:
             return jnp.concatenate(
                 [out, jnp.zeros((1, nrhs_), out.dtype)])
 
+        # chunk tables are jit ARGUMENTS everywhere below: closing over
+        # them would embed the whole micro-task stream as HLO constants
+        # (>hundreds of MB at 64³ → remote-compile HTTP 413)
         def one_dir(poolf, xp, chunks):
             work = jnp.concatenate(
                 [jnp.zeros((nr, P), jnp.float32), xp], axis=1)
             work = run(poolf, work, chunks)
             return work[:, P:]
 
-        def fwd_fn(pool_ext, z):
+        def fwd_fn(pool_ext, z, fwd_chunks):
             poolf = pool_ext.reshape(-1, nb).astype(jnp.float32)
-            xp = one_dir(poolf, to_xp(z), self._fwd_chunks)
+            xp = one_dir(poolf, to_xp(z), fwd_chunks)
             return from_xp(xp, z.shape[1])
 
-        def bwd_fn(pool_ext, z):
+        def bwd_fn(pool_ext, z, bwd_chunks):
             poolf = pool_ext.reshape(-1, nb).astype(jnp.float32)
-            xp = one_dir(poolf, to_xp(z), self._bwd_chunks)
+            xp = one_dir(poolf, to_xp(z), bwd_chunks)
             return from_xp(xp, z.shape[1])
 
-        def full_fn(pool_ext, z):
+        def full_fn(pool_ext, z, fwd_chunks, bwd_chunks):
             poolf = pool_ext.reshape(-1, nb).astype(jnp.float32)
-            xp = one_dir(poolf, to_xp(z), self._fwd_chunks)
-            xp = one_dir(poolf, xp, self._bwd_chunks)
+            xp = one_dir(poolf, to_xp(z), fwd_chunks)
+            xp = one_dir(poolf, xp, bwd_chunks)
             return from_xp(xp, z.shape[1])
 
         self._fwd_raw, self._bwd_raw, self._full_raw = \
@@ -529,15 +532,18 @@ class MegaSolveExecutor:
     # ------------------------------------------------------------------ #
     def fwd(self, pool, x):
         return self._fwd_fn(jnp.asarray(pool, jnp.float32),
-                            jnp.asarray(x, jnp.float32))
+                            jnp.asarray(x, jnp.float32),
+                            self._fwd_chunks)
 
     def bwd(self, pool, x):
         return self._bwd_fn(jnp.asarray(pool, jnp.float32),
-                            jnp.asarray(x, jnp.float32))
+                            jnp.asarray(x, jnp.float32),
+                            self._bwd_chunks)
 
     def full(self, pool, x):
         return self._full_fn(jnp.asarray(pool, jnp.float32),
-                             jnp.asarray(x, jnp.float32))
+                             jnp.asarray(x, jnp.float32),
+                             self._fwd_chunks, self._bwd_chunks)
 
     # ------------------------------------------------------------------ #
     def _build_refined(self, refine: int):
@@ -548,13 +554,14 @@ class MegaSolveExecutor:
         full = self._full_raw
         n = self.n
 
-        def run(pool_ext, b64, vals64, idx):
+        def run(pool_ext, b64, vals64, idx, fwd_chunks, bwd_chunks):
             def body(_, x64):
                 r = b64[:n] - spmv(vals64, idx, x64)
                 rp = jnp.concatenate(
                     [r, jnp.zeros((1, r.shape[1]), r.dtype)])
                 return x64 + full(pool_ext,
-                                  rp.astype(jnp.float32)).astype(
+                                  rp.astype(jnp.float32),
+                                  fwd_chunks, bwd_chunks).astype(
                                       jnp.float64)
 
             return jax.lax.fori_loop(
@@ -569,4 +576,4 @@ class MegaSolveExecutor:
             f = self._build_refined(refine)
             self._refined_fns[refine] = f
         return f(jnp.asarray(pool, jnp.float32), jnp.asarray(b64),
-                 vals64, idx)
+                 vals64, idx, self._fwd_chunks, self._bwd_chunks)
