@@ -525,7 +525,11 @@ class MegaSolveExecutor:
                 if k in ("wS", "dst"):
                     assert np.all(v % nb == 0)
                     v = v // nb
-                d[k] = jnp.asarray(v)
+                # force int32: under jax_enable_x64 (refined solve)
+                # asarray would keep int64 tables and Mosaic rejects
+                # i64 memref slice indices ('tpu.memref_slice' operand
+                # must be i32), seen at Poisson 64³ + refine
+                d[k] = jnp.asarray(np.asarray(v).astype(np.int32))
             out.append(d)
         return out
 
