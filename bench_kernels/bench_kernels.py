@@ -73,9 +73,17 @@ def bench_op(fn, args):
     # work (bounded), whatever the kernel's speed
     est = max((timed(8) - 0.10) / 8, 2e-5)
     reps = int(min(max(1.5 / est, 8), 2000))
-    t1 = min(timed(reps), timed(reps))
-    t2 = min(timed(2 * reps), timed(2 * reps))
-    return max(t2 - t1, 1e-9) / reps
+    # paired samples: interleave (t2-t1) measurements so the relay
+    # overhead cancels per pair, and take the MEDIAN of the paired
+    # differences — differencing two independent minima biases low and
+    # previously over-reported GFLOP/s (ADVICE round 3)
+    diffs = sorted(timed(2 * reps) - timed(reps) for _ in range(3))
+    d = diffs[len(diffs) // 2]
+    if d <= 0:
+        raise RuntimeError(
+            f"non-positive paired timing difference {diffs}: noise "
+            f"exceeds kernel cost; rerun on an idle device")
+    return d / reps
 
 
 def main(argv=None) -> int:
@@ -97,7 +105,7 @@ def main(argv=None) -> int:
     dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
     prec = args.precision
     rng = np.random.default_rng(0)
-    rows = ["kernel,nb,batch,ms,gflops"]
+    rows = ["kernel,nb,batch,ms,gflops,status"]
     print(f"# backend={jax.default_backend()} dtype={args.dtype} "
           f"precision={prec}", file=sys.stderr)
 
@@ -107,9 +115,12 @@ def main(argv=None) -> int:
         CSV is rewritten after every row so a crash loses nothing."""
         try:
             t = bench_op(fn, fargs)
-            rows.append(f"{name},{nb},{B},{t*1e3:.3f},{fl/t/1e9:.1f}")
+            rows.append(f"{name},{nb},{B},{t*1e3:.3f},{fl/t/1e9:.1f},ok")
         except Exception as e:  # noqa: BLE001 - surface and continue
-            rows.append(f"{name},{nb},{B},oom,0")
+            # numeric columns stay parseable (empty ms / 0 gflops); the
+            # status column carries the exception type (ADVICE round 3:
+            # 'oom' mislabeled non-OOM failures and broke CSV parsing)
+            rows.append(f"{name},{nb},{B},,0,{type(e).__name__}")
             print(f"# {name},{nb},{B}: {type(e).__name__}: "
                   f"{str(e)[:200]}", file=sys.stderr)
         print(rows[-1], file=sys.stderr)

@@ -34,6 +34,12 @@ def main(argv=None) -> int:
     ap.add_argument("--precision", default="highest")
     ap.add_argument("--full-only", action="store_true")
     ap.add_argument("--mega", action="store_true")
+    ap.add_argument("--ablate", default="",
+                    help="comma list of megakernel ablations "
+                         "(dma,gather,main,rmw,potrf,trsm) — single "
+                         "config, wrong results, timing only")
+    ap.add_argument("--ablate-sweep", action="store_true",
+                    help="mega cost attribution: time each ablation")
     args = ap.parse_args(argv)
 
     import jax
@@ -58,13 +64,13 @@ def main(argv=None) -> int:
           f"tasks={fplan.num_tasks}", file=sys.stderr)
     values = jnp.asarray(symb.a_perm.values)
 
-    def timed(skip):
+    def timed(skip, ablate=frozenset()):
         if args.mega:
             from spllt_tpu.numeric.megakernel import MegaFactorExecutor
 
             ex = MegaFactorExecutor(fplan, dtype=jnp.float32,
                                     matmul_precision=args.precision,
-                                    group=args.group)
+                                    group=args.group, ablate=ablate)
             nsteps = sum(len(c["kind"]) for c in ex.chunks)
             print(f"# mega: chunks={len(ex.chunks)} steps={nsteps}",
                   file=sys.stderr)
@@ -103,9 +109,20 @@ def main(argv=None) -> int:
         float(s)
         return (time.perf_counter() - t0) / args.reps
 
-    t_full = timed(())
+    base_abl = frozenset(x for x in args.ablate.split(",") if x)
+    t_full = timed((), base_abl)
     print(f"full: {t_full*1e3:8.1f} ms "
-          f"({symb.inform.num_flops/t_full/1e9:.1f} GFLOP/s)")
+          f"({symb.inform.num_flops/t_full/1e9:.1f} GFLOP/s)"
+          + (f"  [ablate={sorted(base_abl)}]" if base_abl else ""))
+    if args.ablate_sweep:
+        # cumulative: each row removes one more cost component; the
+        # deltas attribute per-step time (results are WRONG on purpose)
+        cum = set()
+        for abl in ("main", "gather", "rmw", "potrf", "trsm", "dma"):
+            cum.add(abl)
+            t = timed((), frozenset(cum))
+            print(f"-{'-'.join(sorted(cum)):28s}: {t*1e3:8.1f} ms")
+        return 0
     if args.full_only:
         return 0
     for ph in ("pallas", "updbt", "syrk", "potrf", "trsm"):

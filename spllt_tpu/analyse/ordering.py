@@ -34,6 +34,10 @@ def compute_ordering(a, method: str = "amd", grid_shape=None) -> np.ndarray:
             np.int64)
     if method == "amd":
         return amd_ordering(a)
+    if method == "nd":
+        from .nd import nd_ordering
+
+        return nd_ordering(a)
     raise ValueError(f"unknown ordering method: {method}")
 
 

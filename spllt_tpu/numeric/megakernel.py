@@ -256,7 +256,8 @@ def _kernel(kind_ref, drain_ref, wr_ref, wc_ref, dst_ref, aux_ref,
             relr, relc, poolf_hbm, out_hbm,
             acc, winr, winc, dtile, pscr, gstate,
             semr, semc, semd_r, semd_w, semw,
-            *, nb, group, nsteps, pb, precision):
+            *, nb, group, nsteps, pb, precision,
+            ablate=frozenset()):
     """One grid step = ``group`` micro-tasks of one kind.
 
     Window prefetch is kind-independent (wr/wc row bases); ``drain``
@@ -271,19 +272,26 @@ def _kernel(kind_ref, drain_ref, wr_ref, wc_ref, dst_ref, aux_ref,
     nxt = jax.lax.rem(jnp.int32(t) + jnp.int32(1), jnp.int32(2))
     f32 = winr.dtype
 
-    def start_wins(s, step):
+    def start_wins_abl(s, step):   # ablation: cost-attribution no-op
+        pass
+
+    def start_wins_real(s, step):
         # reads go through the aliased OUTPUT ref: the input ref is only
         # the initial content (in interpret mode they are distinct
         # buffers, so reading poolf_hbm would miss earlier writebacks)
-        for i in range(group):
+        for i_ in range(group):
+            i = jnp.int32(i_)   # python ints trace i64 under jax x64 mode
             pltpu.make_async_copy(
-                out_hbm.at[pl.ds(wr_ref[step * group + i], nb)],
+                out_hbm.at[pl.ds(wr_ref[step * group + i_], nb)],
                 winr.at[s, i], semr.at[s, i]).start()
             pltpu.make_async_copy(
-                out_hbm.at[pl.ds(wc_ref[step * group + i], nb)],
+                out_hbm.at[pl.ds(wc_ref[step * group + i_], nb)],
                 winc.at[s, i], semc.at[s, i]).start()
 
+    start_wins = (start_wins_abl if "dma" in ablate else start_wins_real)
+
     def wait_write(p):
+        p = jnp.int32(p)   # x64-safe: callers pass python ints 0/1
         pltpu.make_async_copy(
             dtile.at[p], out_hbm.at[pl.ds(gstate[1 + p], nb)],
             semd_w.at[p]).wait()
@@ -311,13 +319,15 @@ def _kernel(kind_ref, drain_ref, wr_ref, wc_ref, dst_ref, aux_ref,
     def _():
         start_wins(nxt, t + 1)
 
-    for i in range(group):
-        pltpu.make_async_copy(
-            out_hbm.at[pl.ds(wr_ref[t * group + i], nb)],
-            winr.at[slot, i], semr.at[slot, i]).wait()
-        pltpu.make_async_copy(
-            out_hbm.at[pl.ds(wc_ref[t * group + i], nb)],
-            winc.at[slot, i], semc.at[slot, i]).wait()
+    if "dma" not in ablate:
+        for i_ in range(group):
+            i = jnp.int32(i_)
+            pltpu.make_async_copy(
+                out_hbm.at[pl.ds(wr_ref[t * group + i_], nb)],
+                winr.at[slot, i], semr.at[slot, i]).wait()
+            pltpu.make_async_copy(
+                out_hbm.at[pl.ds(wc_ref[t * group + i_], nb)],
+                winc.at[slot, i], semc.at[slot, i]).wait()
 
     kind = kind_ref[t]
 
@@ -337,13 +347,24 @@ def _kernel(kind_ref, drain_ref, wr_ref, wc_ref, dst_ref, aux_ref,
              for i in range(group)], group)
         rr3 = relr[...][:, :, None]              # [G, nb, 1]
         rc3 = relc[...][:, :, None]
-        ponr = (iot3 == rr3) & (rr3 >= 0)
-        ponc = (iot3 == rc3) & (rc3 >= 0) & (rowi < bkv)
-        r3 = onehot_gather(ponr, winr[slot], group)
-        c3 = onehot_gather(ponc, winc[slot], group)
-        u3 = jax.lax.dot_general(r3, c3, (((2,), (2,)), ((0,), (0,))),
-                                 precision=precision,
-                                 preferred_element_type=jnp.float32)
+        if "gather" in ablate:
+            r3 = winr[slot]
+            c3 = jnp.where(rowi < bkv, winc[slot], 0.0)
+        else:
+            ponr = (iot3 == rr3) & (rr3 >= 0)
+            ponc = (iot3 == rc3) & (rc3 >= 0) & (rowi < bkv)
+            r3 = onehot_gather(ponr, winr[slot], group)
+            c3 = onehot_gather(ponc, winc[slot], group)
+        if "main" in ablate:
+            u3 = r3 + c3
+        else:
+            u3 = jax.lax.dot_general(r3, c3,
+                                     (((2,), (2,)), ((0,), (0,))),
+                                     precision=precision,
+                                     preferred_element_type=jnp.float32)
+        if "rmw" in ablate:
+            acc[:, :] = u3[0]
+            return
 
         for i in range(group):
             gi = t * group + i
@@ -398,32 +419,36 @@ def _kernel(kind_ref, drain_ref, wr_ref, wc_ref, dst_ref, aux_ref,
     def write_back(buf, s):
         # synchronous per-step result writeback (waited before the step
         # ends, so run-boundary drains only track the UPD dtile slots)
-        for i in range(group):
+        for i_ in range(group):
+            i = jnp.int32(i_)
             pltpu.make_async_copy(
-                buf.at[s, i], out_hbm.at[pl.ds(dst_ref[t * group + i], nb)],
+                buf.at[s, i], out_hbm.at[pl.ds(dst_ref[t * group + i_], nb)],
                 semw.at[i]).start()
-        for i in range(group):
+        for i_ in range(group):
+            i = jnp.int32(i_)
             pltpu.make_async_copy(
-                buf.at[s, i], out_hbm.at[pl.ds(dst_ref[t * group + i], nb)],
+                buf.at[s, i], out_hbm.at[pl.ds(dst_ref[t * group + i_], nb)],
                 semw.at[i]).wait()
 
-    @pl.when(kind == KIND_POTRF)
-    def _():
-        kv, kvmax = kv_and_max()
-        out = potrf_tiles_body(pscr, winr[slot], kv, kvmax, nb=nb, pb=pb,
-                               group=group, precision=precision)
-        winr[slot] = out
-        write_back(winr, slot)
+    if "potrf" not in ablate:
+        @pl.when(kind == KIND_POTRF)
+        def _():
+            kv, kvmax = kv_and_max()
+            out = potrf_tiles_body(pscr, winr[slot], kv, kvmax, nb=nb,
+                                   pb=pb, group=group, precision=precision)
+            winr[slot] = out
+            write_back(winr, slot)
 
-    @pl.when(kind == KIND_TRSM)
-    def _():
-        kv, kvmax = kv_and_max()
-        out = trsm_tiles_body(pscr, winr[slot],
-                              jnp.swapaxes(winc[slot], 1, 2), kv, kvmax,
-                              nb=nb, pb=pb, group=group,
-                              precision=precision)
-        winc[slot] = out
-        write_back(winc, slot)
+    if "trsm" not in ablate:
+        @pl.when(kind == KIND_TRSM)
+        def _():
+            kv, kvmax = kv_and_max()
+            out = trsm_tiles_body(pscr, winr[slot],
+                                  jnp.swapaxes(winc[slot], 1, 2), kv,
+                                  kvmax, nb=nb, pb=pb, group=group,
+                                  precision=precision)
+            winc[slot] = out
+            write_back(winc, slot)
 
     # chunk end: drain deferred UPD writes (the next chunk re-inits
     # gstate at its t == 0)
@@ -437,7 +462,8 @@ def _kernel(kind_ref, drain_ref, wr_ref, wc_ref, dst_ref, aux_ref,
 
 def mega_factorize(poolf, chunks, nb: int, group: int,
                    interpret: bool = False,
-                   precision=jax.lax.Precision.HIGHEST):
+                   precision=jax.lax.Precision.HIGHEST,
+                   ablate=frozenset()):
     """Run the chunked megakernel stream over the flat pool [R, nb]."""
     pb = next((c for c in (32, 16, 8) if nb % c == 0), nb)
     for ch in chunks:
@@ -469,7 +495,7 @@ def mega_factorize(poolf, chunks, nb: int, group: int,
         )
         fn = pl.pallas_call(
             functools.partial(_kernel, nb=nb, group=group, nsteps=nsteps,
-                              pb=pb, precision=precision),
+                              pb=pb, precision=precision, ablate=ablate),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(poolf.shape, poolf.dtype),
             input_output_aliases={8: 0},
@@ -500,7 +526,8 @@ class MegaFactorExecutor:
     """
 
     def __init__(self, fp, dtype=jnp.float32, matmul_precision="highest",
-                 group: int | None = None, interpret: bool | None = None):
+                 group: int | None = None, interpret: bool | None = None,
+                 ablate=frozenset()):
         if np.dtype(dtype) != np.float32:
             raise ValueError("megakernel executor is float32-only")
         if matmul_precision not in ("highest", "high"):
@@ -525,7 +552,7 @@ class MegaFactorExecutor:
         njit = functools.partial(mega_factorize, nb=self.nb,
                                  group=self._group,
                                  interpret=self._interpret,
-                                 precision=self._prec)
+                                 precision=self._prec, ablate=ablate)
 
         def run(pool_ext, chunks):
             poolf = pool_ext.reshape(-1, self.nb)

@@ -143,8 +143,9 @@ def _kernel(dst_ref, lor_ref, loc_ref, blkn_ref, relr, relc,
     nxt = jax.lax.rem(jnp.int32(t) + jnp.int32(1), jnp.int32(2))
 
     def start_wins(s, step):
-        for i in range(group):
-            gi = step * group + i
+        for i_ in range(group):
+            gi = step * group + i_
+            i = jnp.int32(i_)   # python ints trace i64 under jax x64 mode
             pltpu.make_async_copy(
                 poolf_hbm.at[pl.ds(lor_ref[gi], nb)], winr.at[s, i],
                 semr.at[s, i]).start()
@@ -154,6 +155,7 @@ def _kernel(dst_ref, lor_ref, loc_ref, blkn_ref, relr, relc,
 
     def wait_write(p):
         # complete a deferred destination write on dtile slot p
+        p = jnp.int32(p)   # x64-safe: callers pass python ints 0/1
         pltpu.make_async_copy(
             dtile.at[p], out_hbm.at[pl.ds(gstate[1 + p], nb)],
             semd_w.at[p]).wait()
@@ -174,12 +176,13 @@ def _kernel(dst_ref, lor_ref, loc_ref, blkn_ref, relr, relc,
     # (per-sub-task VPU→MXU→VPU chains serialize; batching the one-hot
     # construction and the three contractions over the group keeps the
     # MXU pipeline full)
-    for i in range(group):
+    for i_ in range(group):
+        i = jnp.int32(i_)
         pltpu.make_async_copy(
-            poolf_hbm.at[pl.ds(lor_ref[t * group + i], nb)],
+            poolf_hbm.at[pl.ds(lor_ref[t * group + i_], nb)],
             winr.at[slot, i], semr.at[slot, i]).wait()
         pltpu.make_async_copy(
-            poolf_hbm.at[pl.ds(loc_ref[t * group + i], nb)],
+            poolf_hbm.at[pl.ds(loc_ref[t * group + i_], nb)],
             winc.at[slot, i], semc.at[slot, i]).wait()
 
     iot3 = jax.lax.broadcasted_iota(jnp.int32, (group, nb, nb), 2)

@@ -204,19 +204,22 @@ def _kernel(kind_ref, drain_ref, wa_ref, ws_ref, dst_ref, aux_ref,
     nxt = jax.lax.rem(jnp.int32(t) + jnp.int32(1), jnp.int32(2))
 
     def start_wins(s, step):
-        for i in range(group):
+        for i_ in range(group):
+            i = jnp.int32(i_)   # python ints trace i64 under jax x64 mode
             pltpu.make_async_copy(
-                out_hbm.at[:, pl.ds(ws_ref[step * group + i] * jnp.int32(nb), nb)],
+                out_hbm.at[:, pl.ds(ws_ref[step * group + i_] * jnp.int32(nb), nb)],
                 winb.at[s, i], semb.at[s, i]).start()
 
         @pl.when(kind_ref[step] >= jnp.int32(KIND_MM))
         def _():
-            for i in range(group):
+            for i_ in range(group):
+                i = jnp.int32(i_)
                 pltpu.make_async_copy(
-                    poolf_hbm.at[pl.ds(wa_ref[step * group + i], nb)],
+                    poolf_hbm.at[pl.ds(wa_ref[step * group + i_], nb)],
                     wina.at[s, i], sema.at[s, i]).start()
 
     def wait_write(p):
+        p = jnp.int32(p)   # x64-safe: callers pass python ints 0/1
         pltpu.make_async_copy(
             dtile.at[p], out_hbm.at[:, pl.ds(gstate[1 + p] * jnp.int32(nb), nb)],
             semd_w.at[p]).wait()
@@ -242,18 +245,20 @@ def _kernel(kind_ref, drain_ref, wa_ref, ws_ref, dst_ref, aux_ref,
     def _():
         start_wins(nxt, t + 1)
 
-    for i in range(group):
+    for i_ in range(group):
+        i = jnp.int32(i_)
         pltpu.make_async_copy(
-            out_hbm.at[:, pl.ds(ws_ref[t * group + i] * jnp.int32(nb), nb)],
+            out_hbm.at[:, pl.ds(ws_ref[t * group + i_] * jnp.int32(nb), nb)],
             winb.at[slot, i], semb.at[slot, i]).wait()
 
     kind = kind_ref[t]
 
     @pl.when(kind >= jnp.int32(KIND_MM))
     def _():
-        for i in range(group):
+        for i_ in range(group):
+            i = jnp.int32(i_)
             pltpu.make_async_copy(
-                poolf_hbm.at[pl.ds(wa_ref[t * group + i], nb)],
+                poolf_hbm.at[pl.ds(wa_ref[t * group + i_], nb)],
                 wina.at[slot, i], sema.at[slot, i]).wait()
 
     # ------------------------- ADD kinds ------------------------------ #
@@ -339,22 +344,25 @@ def _kernel(kind_ref, drain_ref, wa_ref, ws_ref, dst_ref, aux_ref,
                              nrhs=nr, transpose=transpose, group=group,
                              pb=pb, kvmax=kvmax)
         winb[slot] = jnp.swapaxes(y, 1, 2)       # [G, nr, nb]
-        for i in range(group):
-            gi_ = t * group + i
+        i32_0, i32_1 = jnp.int32(0), jnp.int32(1)
+        for i_ in range(group):
+            gi_ = t * group + i_
+            i = jnp.int32(i_)
             pltpu.make_async_copy(
                 winb.at[slot, i], out_hbm.at[:, pl.ds(ws_ref[gi_] * jnp.int32(nb), nb)],
-                semw.at[i, 0]).start()
+                semw.at[i, i32_0]).start()
             pltpu.make_async_copy(
                 winb.at[slot, i], out_hbm.at[:, pl.ds(dst_ref[gi_] * jnp.int32(nb), nb)],
-                semw.at[i, 1]).start()
-        for i in range(group):
-            gi_ = t * group + i
+                semw.at[i, i32_1]).start()
+        for i_ in range(group):
+            gi_ = t * group + i_
+            i = jnp.int32(i_)
             pltpu.make_async_copy(
                 winb.at[slot, i], out_hbm.at[:, pl.ds(ws_ref[gi_] * jnp.int32(nb), nb)],
-                semw.at[i, 0]).wait()
+                semw.at[i, i32_0]).wait()
             pltpu.make_async_copy(
                 winb.at[slot, i], out_hbm.at[:, pl.ds(dst_ref[gi_] * jnp.int32(nb), nb)],
-                semw.at[i, 1]).wait()
+                semw.at[i, i32_1]).wait()
 
     @pl.when(kind == jnp.int32(KIND_SOL))
     def _():
@@ -445,6 +453,7 @@ class MegaSolveExecutor:
         self.dtype = jnp.float32
         nr = max(8, -(-nrhs // 8) * 8)
         self.nr = nr
+        nb_ = plan.nb
         if group is None:
             # measured on TPU v5e (32^3 nb=128 nemin=192, fwd+bwd):
             #   nr=8:  G=16 17.6 ms, G=8 18.2, G=32 70.8 (VMEM-bound)
@@ -453,6 +462,21 @@ class MegaSolveExecutor:
             # group as nr grows; Pallas needs the (group, nb) rel block's
             # sublane dim divisible by 8, so 8 is the floor.
             group = 2 if self._interpret else (16 if nr <= 8 else 8)
+            # the 16/8 defaults are measured at nb=128 only; for larger
+            # legal nb (any nb % 128 == 0) clamp to the VMEM window
+            # budget the scratch shapes below imply:
+            #   4 bytes * (2 G nb² [wina] + 3 G nr nb [winb+yscr]) ≲ 10 MiB
+            while (not self._interpret and group > 8
+                   and 4 * group * nb_ * (2 * nb_ + 3 * nr) > 10 << 20):
+                group //= 2
+        if (not self._interpret
+                and 4 * group * nb_ * (2 * nb_ + 3 * nr) > 24 << 20):
+            # even the floor group cannot fit VMEM (huge nb × wide rhs):
+            # signal ineligibility so api._scan_executor falls back to
+            # the scan solve path
+            raise ValueError(
+                f"solve megakernel VMEM budget exceeded at nb={nb_} "
+                f"nrhs={nrhs} group={group}")
         self._group = group
         self._prec = (jax.lax.Precision.HIGHEST
                       if matmul_precision in ("highest", "high")

@@ -31,7 +31,7 @@ class Options:
     nb: int = 256            # factorization tile size (ref default nb=256)
     nemin: int = 32          # supernode amalgamation threshold (ref nemin=32)
     # symbolic --------------------------------------------------------------
-    ordering: str = "amd"    # 'amd' | 'nd-grid' | 'rcm' | 'natural'
+    ordering: str = "amd"    # 'amd' | 'nd' | 'nd-grid' | 'rcm' | 'natural'
     grid_shape: tuple | None = None  # for 'nd-grid'
     prune_tree: bool = True  # subtree coarsening (ref prune_tree)
     coarse_subtrees: bool = False  # batched dense leaf-subtree phase
