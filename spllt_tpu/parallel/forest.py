@@ -162,7 +162,7 @@ def _spmd_bucket_tables(per_dev_tasks, nlevels, kind_fields, pad_values,
         stacked = {nm: np.stack([per_dev[d][nm] for d in range(ndev)])
                    for nm in per_dev[0]}
         out.append(stacked)
-    return out
+    return out, [(s, e) for s, e, _ in spans]
 
 
 @dataclasses.dataclass
@@ -173,6 +173,7 @@ class MultiDeviceFactor:
     part: ForestPartition
     nlevels: int
     a_buckets: list              # factor phase A: [ndev, ...] tables
+    a_spans: list                # phase A bucket level ranges [(s, e)]
     c_buckets: list              # factor phase C: [1, ...] tables
     fsolve: dict                 # solve tables (fwd/bwd x A/C buckets)
     srcvec_local: np.ndarray     # [ndev, S]
@@ -188,6 +189,11 @@ class MultiDeviceFactor:
     top_col: np.ndarray
     top_val_idx: np.ndarray
     nb: int
+    # raw per-device/per-kind task lists (local ids), kept so the
+    # megakernel stream builder (forest_mega) can consume the SAME task
+    # split the scan tables were built from
+    a_tasks: dict | None = None
+    c_tasks: dict | None = None
 
     def local_pools(self, values: np.ndarray, dtype=np.float32):
         """Host-side assembly of the sharded local pools
@@ -283,8 +289,10 @@ def build_multidevice_factor(symb, plan, fplan, ndev: int, splan=None
         "syrk": {"i": scratch, "j": scratch, "dst": scratch},
         "updbt": {"dst": scratch, "mr": 0, "mc": 0, "svp": 0, "c": 0},
     }
-    a_buckets = _spmd_bucket_tables(a, nlevels, kind_fields, pad_values)
-    c_buckets = _spmd_bucket_tables(c, nlevels, kind_fields, pad_values)
+    a_buckets, a_spans = _spmd_bucket_tables(a, nlevels, kind_fields,
+                                             pad_values)
+    c_buckets, _ = _spmd_bucket_tables(c, nlevels, kind_fields,
+                                       pad_values)
 
     # local blk_n per device (for updbt col masks); scratch gets nb
     blk_n_local = np.full((ndev, part.nlocal), nb, dtype=np.int64)
@@ -323,8 +331,8 @@ def build_multidevice_factor(symb, plan, fplan, ndev: int, splan=None
             pads = {"sol": {"blk": scratch, "rows": pad_rows, "k": 0},
                     "upd": {"blk": scratch, "rows": pad_rows, "c0": 0,
                             "k": 0}}
-            return (_spmd_bucket_tables(av, nlev, fields, pads),
-                    _spmd_bucket_tables(cv, nlev, fields, pads))
+            return (_spmd_bucket_tables(av, nlev, fields, pads)[0],
+                    _spmd_bucket_tables(cv, nlev, fields, pads)[0])
 
         fsolve["fwd_a"], fsolve["fwd_c"] = split_dir(
             sp.fsol_ptr, sp.fsol_blk, sp.fsol_rows, sp.fsol_k,
@@ -355,14 +363,14 @@ def build_multidevice_factor(symb, plan, fplan, ndev: int, splan=None
         asm_val_idx[d, :len(sel)] = sel
 
     return MultiDeviceFactor(
-        part=part, nlevels=nlevels, a_buckets=a_buckets,
+        part=part, nlevels=nlevels, a_buckets=a_buckets, a_spans=a_spans,
         c_buckets=c_buckets, fsolve=fsolve, srcvec_local=srcvec_local,
         maps=fplan.maps, blk_n_local=blk_n_local,
         cmax=int(fplan.updbt_c.max()) if len(fplan.updbt_c) else 0,
         n=symb.n,
         asm_rowflat=asm_rowflat, asm_col=asm_col, asm_val_idx=asm_val_idx,
         top_rowflat=top_rowflat, top_col=top_col, top_val_idx=top_val_idx,
-        nb=nb,
+        nb=nb, a_tasks=a, c_tasks=c,
     )
 
 
@@ -544,6 +552,7 @@ def make_sharded_factorize(md: MultiDeviceFactor, mesh, dtype,
     maps = jnp.asarray(md.maps, jnp.int32)
     srcvec = jnp.asarray(md.srcvec_local, jnp.int32)
     blk_n = jnp.asarray(md.blk_n_local, jnp.int32)
+    psum_slices = _top_psum_slices(md)
 
     def step(pools, top_init):
         def inner(pool_shard, top_init, blk_n_shard, srcvec_shard,
@@ -552,12 +561,22 @@ def make_sharded_factorize(md: MultiDeviceFactor, mesh, dtype,
             bn = blk_n_shard[0]
             sv = srcvec_shard[0]
             a_local = [{k: v[0] for k, v in bt.items()} for bt in a_shard]
-            pool = _factor_scan_phase(pool, a_local, maps, bn, sv,
-                                      md.cmax, nb, precision)
-            contrib = pool[:ntop] if ntop else pool[:0]
-            top = jax.lax.psum(contrib, "tree")
-            top = top + top_init.reshape(max(1, ntop), nb, nb)[:ntop]
-            pool = pool.at[:ntop].set(top)
+            # phase A with OVERLAPPED ancestor reduction: after each
+            # bucket scan, psum only the top blocks whose LAST phase-A
+            # contribution lies in that bucket — the collective for
+            # bucket i has no consumer before phase C, so XLA can run
+            # it concurrently with bucket i+1's local compute (the
+            # reduce-scatter/compute overlap of SURVEY §7 step 7; the
+            # single blocking whole-top psum was round-3 weak #3)
+            top = top_init.reshape(max(1, ntop), nb, nb)
+            for bi, bt in enumerate(a_local):
+                pool = _factor_scan_phase(pool, [bt], maps, bn, sv,
+                                          md.cmax, nb, precision)
+                idx = psum_slices[bi]
+                if len(idx):
+                    contrib = jax.lax.psum(pool[idx], "tree")
+                    top = top.at[idx].add(contrib)
+            pool = pool.at[:ntop].set(top[:ntop])
             c_local = [{k: v[0] for k, v in bt.items()} for bt in c_tabs]
             pool = _factor_scan_phase(pool, c_local, maps, bn, sv,
                                       md.cmax, nb, precision)
@@ -571,6 +590,33 @@ def make_sharded_factorize(md: MultiDeviceFactor, mesh, dtype,
         return fn(pools, top_init, blk_n, srcvec, a_tabs)
 
     return step
+
+
+def _top_psum_slices(md: MultiDeviceFactor):
+    """Per phase-A bucket, the top-block ids whose LAST contribution from
+    any device lands in that bucket (host-side; drives the overlapped
+    ancestor reduction).  Blocks no device writes go in bucket 0 (their
+    contribution is the replicated zero — psum'ing them there keeps the
+    assembled-top add uniform)."""
+    ntop = md.part.ntop
+    nbuckets = len(md.a_spans)
+    if ntop == 0 or nbuckets == 0:
+        return [np.empty(0, np.int64)] * max(1, nbuckets)
+    last_lvl = np.zeros(ntop, dtype=np.int64)
+    for kind, tasks_per_dev in md.a_tasks.items():
+        di = 1 if kind != "trsm" else 2   # dst field position
+        if kind == "potrf":
+            continue                      # potrf never targets the top
+        for tl in tasks_per_dev:
+            for t in tl:
+                dst = t[di] if kind != "syrk" else t[3]
+                if dst < ntop:
+                    last_lvl[dst] = max(last_lvl[dst], t[0])
+    bucket_of = np.zeros(ntop, dtype=np.int64)
+    for bi, (s, e) in enumerate(md.a_spans):
+        sel = (last_lvl >= s) & (last_lvl <= e)
+        bucket_of[sel] = bi
+    return [np.nonzero(bucket_of == bi)[0] for bi in range(nbuckets)]
 
 
 def make_sharded_solve(md: MultiDeviceFactor, mesh, precision="highest"):
@@ -647,7 +693,8 @@ def reconstruct_global_pool(md: MultiDeviceFactor, pools, plan):
 
 # ------------------------------------------------------------------------- #
 def dryrun(n_devices: int, m: int = 16, nb: int = 8, nemin: int = 4,
-           grid3d: bool = False, check: bool = True) -> None:
+           grid3d: bool = False, check: bool = True,
+           schedule: str = "scan") -> None:
     """Create an n-device mesh, jit the full multi-device factorization +
     solve step with real tree shardings, run it, and (optionally) check
     factor and solution against the sequential oracle."""
@@ -693,7 +740,12 @@ def dryrun(n_devices: int, m: int = 16, nb: int = 8, nemin: int = 4,
 
     dtype = np.float32
     pools_np, top_np = md.local_pools(symb.a_perm.values, dtype=dtype)
-    fstep = make_sharded_factorize(md, mesh, dtype)
+    if schedule == "mega":
+        from .forest_mega import make_sharded_factorize_mega
+
+        fstep = make_sharded_factorize_mega(md, mesh, dtype)
+    else:
+        fstep = make_sharded_factorize(md, mesh, dtype)
     sstep = make_sharded_solve(md, mesh)
 
     pools = jax.device_put(
