@@ -28,6 +28,10 @@ COARSE = os.environ.get("BENCH_COARSE", "0") not in ("0", "", "false")
 PALLAS = os.environ.get("BENCH_PALLAS", "auto")   # auto | on | off
 HMAX = int(os.environ.get("BENCH_HMAX", "2048"))
 SCHEDULE = os.environ.get("BENCH_SCHEDULE", "mega")  # mega | scan
+# refinement steps: default 2 for f32-highest, 6 for the bf16+IR point
+# (precision=default converges ~2.4 digits/step; 3 left 5.5e-8)
+REFINE = int(os.environ.get(
+    "BENCH_REFINE", "2" if PRECISION == "highest" else "6"))
 # (coarse default off for the driver: its batched 256-cholesky compiles
 #  >40 min server-side; enable with BENCH_COARSE=1 once warmed)
 # our own recorded baseline (GFLOP/s) to report progress against; the
@@ -53,7 +57,7 @@ def main() -> int:
     a = poisson3d(M)
     opts = Options(ordering="nd-grid", grid_shape=(M, M, M), nb=NB,
                    nemin=NEMIN, mode="batched", dtype="float32",
-                   refine=3 if PRECISION != "highest" else 2,
+                   refine=REFINE,
                    precision=PRECISION, prune_tree=False,
                    coarse_subtrees=COARSE, schedule=SCHEDULE)
     t0 = time.perf_counter()

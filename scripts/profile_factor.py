@@ -118,10 +118,11 @@ def main(argv=None) -> int:
         # cumulative: each row removes one more cost component; the
         # deltas attribute per-step time (results are WRONG on purpose)
         cum = set()
-        for abl in ("main", "gather", "rmw", "potrf", "trsm", "dma"):
+        for abl in ("main", "gather", "rmw", "dma"):
             cum.add(abl)
             t = timed((), frozenset(cum))
-            print(f"-{'-'.join(sorted(cum)):28s}: {t*1e3:8.1f} ms")
+            print(f"-{'-'.join(sorted(cum)):28s}: {t*1e3:8.1f} ms",
+                  flush=True)
         return 0
     if args.full_only:
         return 0

@@ -430,12 +430,18 @@ def _kernel(kind_ref, drain_ref, wr_ref, wc_ref, dst_ref, aux_ref,
                 buf.at[s, i], out_hbm.at[pl.ds(dst_ref[t * group + i_], nb)],
                 semw.at[i]).wait()
 
+    # panel bodies stay exact f32 even at precision=default: the potrf
+    # divisions/sqrt are numerically sensitive and a negligible flop
+    # fraction — only the update contractions take the 1-pass bf16 cut
+    panel_prec = jax.lax.Precision.HIGHEST
+
     if "potrf" not in ablate:
         @pl.when(kind == KIND_POTRF)
         def _():
             kv, kvmax = kv_and_max()
             out = potrf_tiles_body(pscr, winr[slot], kv, kvmax, nb=nb,
-                                   pb=pb, group=group, precision=precision)
+                                   pb=pb, group=group,
+                                   precision=panel_prec)
             winr[slot] = out
             write_back(winr, slot)
 
@@ -446,7 +452,7 @@ def _kernel(kind_ref, drain_ref, wr_ref, wc_ref, dst_ref, aux_ref,
             out = trsm_tiles_body(pscr, winr[slot],
                                   jnp.swapaxes(winc[slot], 1, 2), kv,
                                   kvmax, nb=nb, pb=pb, group=group,
-                                  precision=precision)
+                                  precision=panel_prec)
             winc[slot] = out
             write_back(winc, slot)
 
@@ -530,8 +536,9 @@ class MegaFactorExecutor:
                  ablate=frozenset()):
         if np.dtype(dtype) != np.float32:
             raise ValueError("megakernel executor is float32-only")
-        if matmul_precision not in ("highest", "high"):
-            raise ValueError("megakernel requires precision highest|high")
+        if matmul_precision not in ("highest", "high", "default"):
+            raise ValueError(
+                "megakernel precision must be highest|high|default")
         self.fp = fp
         self.nb = fp.nb
         self._interpret = _on_cpu() if interpret is None else interpret
@@ -539,9 +546,14 @@ class MegaFactorExecutor:
             raise ValueError("megakernel needs nb % 128 == 0 on TPU")
         self._group = group or (2 if self._interpret else 8)
         self.pool_rows = (fp.nblocks + 1) * fp.nb
-        self._prec = (jax.lax.Precision.HIGHEST
-                      if matmul_precision == "highest"
-                      else jax.lax.Precision.HIGH)
+        # Mosaic lowers only DEFAULT/HIGHEST ('high' would need a manual
+        # 3-pass bf16 split); 'default' = the bf16+IR operating point:
+        # the UPDATE contractions (the flop bulk) run as ONE bf16 MXU
+        # pass while the panel math (potrf/trsm bodies) stays exact f32
+        # — pair with Options(refine>=3) to restore f64 backward error
+        self._prec = (jax.lax.Precision.DEFAULT
+                      if matmul_precision == "default"
+                      else jax.lax.Precision.HIGHEST)
         self.chunks = build_mega_stream(fp, self._group, self.pool_rows)
         # chunk tables live on device and are passed as jit ARGUMENTS:
         # closing over them would embed ~O(tasks*nb) int32 tables as HLO

@@ -75,6 +75,14 @@ class DenseSubtreeExecutor:
             # equivalent gather streams at full bandwidth.
             ns, sp = int(b["nsub"]), int(b["spad"])
             self._interpret = _on_cpu()
+            # route EVERY bucket through the pallas potrf body on TPU by
+            # padding fronts up to the 128-lane multiple (the round-3
+            # XLA batched-cholesky fallback was the compile-time sink
+            # that kept coarsening off in production; padded rows/cols
+            # are zero with a unit diagonal supplied by kvec masking)
+            if (np.dtype(dtype) == np.float32 and not self._interpret
+                    and sp % 128 != 0):
+                sp = -(-sp // 128) * 128
             use_pallas = (np.dtype(dtype) == np.float32
                           and (sp % 128 == 0 or self._interpret))
             group = (max(1, min(ns, (8 * 128 * 128) // (sp * sp)))
