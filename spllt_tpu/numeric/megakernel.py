@@ -50,6 +50,7 @@ from .pallas_update import build_micro_tasks, onehot_gather
 __all__ = ["build_mega_stream", "mega_factorize", "MegaFactorExecutor"]
 
 KIND_UPD, KIND_POTRF, KIND_TRSM = 0, 1, 2
+KIND_NOOP = -1           # padded steps: no loads, no compute, no writes
 _BLKN_BITS = 10          # blkn in aux bits 0-9; first/last flags above
 
 
@@ -176,6 +177,15 @@ def build_mega_stream(fp, group: int, pool_rows: int,
             emit(KIND_TRSM, diag, dstt, dstt, kv, z2, z2)
 
     # ---- chunk at run boundaries under the SMEM task budget ---------- #
+    # chunks share ONE compiled program (uniform shapes), so a greedy
+    # fill (full, full, ..., small tail) pads the tail chunk with dead
+    # steps up to the longest chunk.  Balance instead: aim every chunk
+    # at total/nchunks tasks so uniform padding nearly vanishes.
+    total = sum(len(r[1]) for r in runs)
+    if total > kmax:
+        nchunks = -(-total // kmax)
+        kmax = min(kmax, -(-total // (nchunks * group)) * group
+                   + 2 * group)
     chunks = []
     cur = None
 
@@ -218,10 +228,11 @@ def build_mega_stream(fp, group: int, pool_rows: int,
 
 
 def pad_chunks_uniform(chunks, group: int, nb: int, scratch: int):
-    """Pad every chunk's stream to the max step count with no-op UPD
-    runs against the scratch tile, so ALL chunks share one static shape
-    and compile to ONE pallas program (49 chunks at Poisson 64³ would
-    otherwise each compile separately: ~minutes per program)."""
+    """Pad every chunk's stream to the max step count with KIND_NOOP
+    steps (no loads, no compute — the kernel skips them at the grid-step
+    floor only), so ALL chunks share one static shape and compile to ONE
+    pallas program (49 chunks at Poisson 64³ would otherwise each
+    compile separately: ~minutes per program)."""
     if len(chunks) <= 1:
         return chunks
     tmax = max(len(c["kind"]) for c in chunks)
@@ -231,7 +242,7 @@ def pad_chunks_uniform(chunks, group: int, nb: int, scratch: int):
             continue
         k = pad * group
         c["kind"] = np.concatenate(
-            [c["kind"], np.zeros(pad, np.int32)])        # KIND_UPD
+            [c["kind"], np.full(pad, KIND_NOOP, np.int32)])
         c["drain"] = np.concatenate(
             [c["drain"], np.ones(1, np.int32),
              np.zeros(pad - 1, np.int32)])
@@ -278,15 +289,19 @@ def _kernel(kind_ref, drain_ref, wr_ref, wc_ref, dst_ref, aux_ref,
     def start_wins_real(s, step):
         # reads go through the aliased OUTPUT ref: the input ref is only
         # the initial content (in interpret mode they are distinct
-        # buffers, so reading poolf_hbm would miss earlier writebacks)
-        for i_ in range(group):
-            i = jnp.int32(i_)   # python ints trace i64 under jax x64 mode
-            pltpu.make_async_copy(
-                out_hbm.at[pl.ds(wr_ref[step * group + i_], nb)],
-                winr.at[s, i], semr.at[s, i]).start()
-            pltpu.make_async_copy(
-                out_hbm.at[pl.ds(wc_ref[step * group + i_], nb)],
-                winc.at[s, i], semc.at[s, i]).start()
+        # buffers, so reading poolf_hbm would miss earlier writebacks).
+        # NOOP (padded) steps start no copies — the wait side is gated
+        # on the same predicate, so semaphores stay matched.
+        @pl.when(kind_ref[step] != jnp.int32(KIND_NOOP))
+        def _():
+            for i_ in range(group):
+                i = jnp.int32(i_)   # python ints trace i64 under x64
+                pltpu.make_async_copy(
+                    out_hbm.at[pl.ds(wr_ref[step * group + i_], nb)],
+                    winr.at[s, i], semr.at[s, i]).start()
+                pltpu.make_async_copy(
+                    out_hbm.at[pl.ds(wc_ref[step * group + i_], nb)],
+                    winc.at[s, i], semc.at[s, i]).start()
 
     start_wins = (start_wins_abl if "dma" in ablate else start_wins_real)
 
@@ -319,17 +334,19 @@ def _kernel(kind_ref, drain_ref, wr_ref, wc_ref, dst_ref, aux_ref,
     def _():
         start_wins(nxt, t + 1)
 
-    if "dma" not in ablate:
-        for i_ in range(group):
-            i = jnp.int32(i_)
-            pltpu.make_async_copy(
-                out_hbm.at[pl.ds(wr_ref[t * group + i_], nb)],
-                winr.at[slot, i], semr.at[slot, i]).wait()
-            pltpu.make_async_copy(
-                out_hbm.at[pl.ds(wc_ref[t * group + i_], nb)],
-                winc.at[slot, i], semc.at[slot, i]).wait()
-
     kind = kind_ref[t]
+
+    if "dma" not in ablate:
+        @pl.when(kind != jnp.int32(KIND_NOOP))
+        def _():
+            for i_ in range(group):
+                i = jnp.int32(i_)
+                pltpu.make_async_copy(
+                    out_hbm.at[pl.ds(wr_ref[t * group + i_], nb)],
+                    winr.at[slot, i], semr.at[slot, i]).wait()
+                pltpu.make_async_copy(
+                    out_hbm.at[pl.ds(wc_ref[t * group + i_], nb)],
+                    winc.at[slot, i], semc.at[slot, i]).wait()
 
     # ------------------------------------------------------------------ #
     @pl.when(kind == KIND_UPD)

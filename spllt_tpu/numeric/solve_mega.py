@@ -44,8 +44,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..plan.solve_mega import (KIND_ADDG, KIND_MM, KIND_MMT, KIND_SOL,
-                               KIND_SOLT, build_solve_mega_plan)
+from ..plan.solve_mega import (KIND_ADDG, KIND_MM, KIND_MMT, KIND_NOOP,
+                               KIND_SOL, KIND_SOLT, build_solve_mega_plan)
 from .pallas_potrf import scalars_to_vec
 from .pallas_solve import solve_tiles_body
 
@@ -95,6 +95,13 @@ def chunk_solve_runs(runs, group: int, nb: int, work_scratch: int,
     (padded factor tasks write masked zeros) and the work scratch
     window only ever receives zeros, so padded tasks are exact no-ops.
     """
+    # balance chunk sizes so the shared-shape padding nearly vanishes
+    # (greedy fill pads the small tail chunk up to the longest one)
+    total = sum(-(-len(r["wS"]) // group) * group for r in runs)
+    if total > kmax:
+        nchunks = -(-total // kmax)
+        kmax = min(kmax, -(-total // (nchunks * group)) * group
+                   + 2 * group)
     chunks = []
     cur = None
     ntask = 0
@@ -158,7 +165,8 @@ def chunk_solve_runs(runs, group: int, nb: int, work_scratch: int,
             ntask += s1 - s0
     flush()
     # pad chunks to one static shape -> ONE pallas program for all
-    # chunks of a direction (same trick as megakernel.pad_chunks_uniform)
+    # chunks of a direction (same trick as megakernel.pad_chunks_uniform;
+    # NOOP steps cost only the grid-step floor)
     if len(chunks) > 1:
         tmax = max(len(c["kind"]) for c in chunks)
         for c in chunks:
@@ -167,7 +175,7 @@ def chunk_solve_runs(runs, group: int, nb: int, work_scratch: int,
                 continue
             k = pad * group
             c["kind"] = np.concatenate(
-                [c["kind"], np.full(pad, KIND_ADDG, np.int32)])
+                [c["kind"], np.full(pad, KIND_NOOP, np.int32)])
             c["drain"] = np.concatenate(
                 [c["drain"], np.ones(1, np.int32),
                  np.zeros(pad - 1, np.int32)])
@@ -204,11 +212,13 @@ def _kernel(kind_ref, drain_ref, wa_ref, ws_ref, dst_ref, aux_ref,
     nxt = jax.lax.rem(jnp.int32(t) + jnp.int32(1), jnp.int32(2))
 
     def start_wins(s, step):
-        for i_ in range(group):
-            i = jnp.int32(i_)   # python ints trace i64 under jax x64 mode
-            pltpu.make_async_copy(
-                out_hbm.at[:, pl.ds(ws_ref[step * group + i_] * jnp.int32(nb), nb)],
-                winb.at[s, i], semb.at[s, i]).start()
+        @pl.when(kind_ref[step] != jnp.int32(KIND_NOOP))
+        def _():
+            for i_ in range(group):
+                i = jnp.int32(i_)   # python ints trace i64 under x64
+                pltpu.make_async_copy(
+                    out_hbm.at[:, pl.ds(ws_ref[step * group + i_] * jnp.int32(nb), nb)],
+                    winb.at[s, i], semb.at[s, i]).start()
 
         @pl.when(kind_ref[step] >= jnp.int32(KIND_MM))
         def _():
@@ -245,13 +255,15 @@ def _kernel(kind_ref, drain_ref, wa_ref, ws_ref, dst_ref, aux_ref,
     def _():
         start_wins(nxt, t + 1)
 
-    for i_ in range(group):
-        i = jnp.int32(i_)
-        pltpu.make_async_copy(
-            out_hbm.at[:, pl.ds(ws_ref[t * group + i_] * jnp.int32(nb), nb)],
-            winb.at[slot, i], semb.at[slot, i]).wait()
-
     kind = kind_ref[t]
+
+    @pl.when(kind != jnp.int32(KIND_NOOP))
+    def _():
+        for i_ in range(group):
+            i = jnp.int32(i_)
+            pltpu.make_async_copy(
+                out_hbm.at[:, pl.ds(ws_ref[t * group + i_] * jnp.int32(nb), nb)],
+                winb.at[slot, i], semb.at[slot, i]).wait()
 
     @pl.when(kind >= jnp.int32(KIND_MM))
     def _():

@@ -67,7 +67,7 @@ def _pad_streams_uniform(streams, group: int, nb: int, scratch_row: int):
     stacked tables are SPMD-uniform (same trick as
     megakernel.pad_chunks_uniform, extended across devices).  Appended
     chunks / steps are all-scratch no-op UPD runs."""
-    from ..numeric.megakernel import _BLKN_BITS
+    from ..numeric.megakernel import _BLKN_BITS, KIND_NOOP
 
     cmax = max(len(s) for s in streams)
     tmax = max((len(c["kind"]) for s in streams for c in s), default=0)
@@ -76,7 +76,7 @@ def _pad_streams_uniform(streams, group: int, nb: int, scratch_row: int):
     def noop_chunk():
         k = tmax * group
         return {
-            "kind": np.zeros(tmax, np.int32),
+            "kind": np.full(tmax, KIND_NOOP, np.int32),
             "drain": np.concatenate(
                 [np.ones(1, np.int32), np.zeros(tmax - 1, np.int32)]),
             "wr": np.full(k, scratch_row, np.int32),
@@ -97,7 +97,7 @@ def _pad_streams_uniform(streams, group: int, nb: int, scratch_row: int):
                 k = pad * group
                 c = dict(c)
                 c["kind"] = np.concatenate(
-                    [c["kind"], np.zeros(pad, np.int32)])
+                    [c["kind"], np.full(pad, KIND_NOOP, np.int32)])
                 c["drain"] = np.concatenate(
                     [c["drain"], np.ones(1, np.int32),
                      np.zeros(pad - 1, np.int32)])

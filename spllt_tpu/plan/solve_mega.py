@@ -62,6 +62,7 @@ __all__ = ["SolveMegaPlan", "build_solve_mega_plan",
            "KIND_ADDG", "KIND_MM", "KIND_MMT", "KIND_SOL", "KIND_SOLT"]
 
 KIND_ADDG, KIND_MM, KIND_MMT, KIND_SOL, KIND_SOLT = 0, 1, 2, 3, 4
+KIND_NOOP = -1   # padded steps: no loads, no compute (kernel skips)
 
 # phase order inside one level (drain boundaries between runs order them)
 _PH_ADDG, _PH_MM, _PH_SOL = 0, 1, 2
