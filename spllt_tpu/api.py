@@ -43,6 +43,12 @@ class NumericFactor:
     options: Options
     inform: Inform
     _solve_execs: dict = dataclasses.field(default_factory=dict)
+    # multi-device runs (Options.ndevices > 1): (MultiDeviceFactor,
+    # mesh, {job: sharded solve step}); ``pool`` then holds the SHARDED
+    # local pools [ndev, nlocal*nb, nb] (the reference's one entry point
+    # likewise hides the runtime behind spllt_factor,
+    # /root/reference/src/spllt_mod.F90:141-168)
+    mdf: tuple | None = None
 
     @property
     def mode(self) -> str:
@@ -53,7 +59,11 @@ def _plans(symb: SymbolicFactor, options: Options):
     """Plans for (symb, blocking options) — cached on the symbolic object
     so repeated refactorizations (the reference's akeep-reuse pipeline,
     doc/source/subroutines.rst:37-75) pay the plan build once."""
-    key = ("plans", options.nb, options.coarse_subtrees,
+    # coarse dense fronts run on the single-device executors; the forest
+    # path partitions the FLAT task stream, so multi-device plans are
+    # built without coarsening
+    use_coarse = options.coarse_subtrees and options.ndevices == 1
+    key = ("plans", options.nb, use_coarse,
            options.coarse_span, options.coarse_waste)
     cache = getattr(symb, "_cache", None)
     if cache is None:
@@ -62,7 +72,7 @@ def _plans(symb: SymbolicFactor, options: Options):
         return cache[key]
     plan = build_block_plan(symb, options.nb)
     coarse = None
-    if options.coarse_subtrees:
+    if use_coarse:
         from .analyse.coarsen import coarse_partition
 
         coarse = coarse_partition(symb.forest, symb.node_flops,
@@ -89,6 +99,10 @@ def factor(symb: SymbolicFactor, a: CscMatrix | None = None,
     inform.num_blocks = plan.nblocks
     inform.num_levels = fplan.nlevels
     inform.num_tasks = fplan.num_tasks
+
+    if options.mode == "batched" and options.ndevices > 1:
+        return _factor_multidevice(symb, values, options, plan, fplan,
+                                   splan, inform)
 
     if options.mode == "stf":
         from .numeric.assemble import assemble_np
@@ -157,6 +171,89 @@ def factor(symb: SymbolicFactor, a: CscMatrix | None = None,
                          _solve_execs=solve_execs)
 
 
+def _multidevice_setup(symb: SymbolicFactor, options: Options, plan,
+                       fplan, splan):
+    """Cached (md, mesh, jitted factor step, {job: solve step}) for
+    ``Options.ndevices > 1`` — the user-API gateway to the forest
+    executors (reference: the single ``spllt_factor`` entry selects its
+    runtime including the distributed one,
+    /root/reference/src/spllt_mod.F90:141-168)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from .parallel.forest import (build_multidevice_factor,
+                                  make_sharded_factorize,
+                                  make_sharded_solve)
+
+    key = ("mdf", options.nb, options.ndevices, options.schedule,
+           options.dtype, options.precision)
+    hit = symb._cache.get(key)
+    if hit is not None:
+        return hit
+    ndev = options.ndevices
+    devs = jax.devices()
+    if len(devs) < ndev:
+        try:
+            devs = jax.devices("cpu")
+        except RuntimeError:
+            pass
+    if len(devs) < ndev:
+        raise ValueError(
+            f"Options(ndevices={ndev}) but only {len(jax.devices())} "
+            "devices are visible; for a virtual mesh set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N")
+    mesh = Mesh(np.array(devs[:ndev]), ("tree",))
+    md = build_multidevice_factor(symb, plan, fplan, ndev, splan=splan)
+    fstep = None
+    if options.schedule == "mega" and options.dtype == "float32":
+        try:
+            from .parallel.forest_mega import make_sharded_factorize_mega
+
+            fstep = make_sharded_factorize_mega(
+                md, mesh, np.float32, precision=options.precision)
+        except ValueError:
+            fstep = None    # ineligible (nb on TPU): scan bodies
+    if fstep is None:
+        fstep = make_sharded_factorize(md, mesh, options.dtype,
+                                       precision=options.precision)
+    import jax as _jax
+
+    fstep = _jax.jit(fstep)
+    ssteps = {job: _jax.jit(make_sharded_solve(
+        md, mesh, precision=options.precision, job=job))
+        for job in (0, 1, 2)}
+    hit = (md, mesh, fstep, ssteps)
+    symb._cache[key] = hit
+    return hit
+
+
+def _factor_multidevice(symb: SymbolicFactor, values, options: Options,
+                        plan, fplan, splan, inform) -> NumericFactor:
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .utils.jaxconfig import ensure_x64
+
+    if options.dtype == "float64":
+        ensure_x64()
+    md, mesh, fstep, ssteps = _multidevice_setup(symb, options, plan,
+                                                 fplan, splan)
+    dtype = np.float64 if options.dtype == "float64" else np.float32
+    pools_np, top_np = md.local_pools(values, dtype=dtype)
+    pools = jax.device_put(jnp.asarray(pools_np),
+                           NamedSharding(mesh, P("tree")))
+    top = jax.device_put(jnp.asarray(top_np), NamedSharding(mesh, P()))
+    pools = fstep(pools, top)
+    pools.block_until_ready()
+    if bool(jnp.isnan(jnp.sum(pools))):
+        raise NotPositiveDefiniteError()
+    return NumericFactor(symb=symb, plan=plan, fplan=fplan, splan=splan,
+                         pool=pools, values_perm=np.asarray(values),
+                         options=options, inform=inform,
+                         mdf=(md, mesh, ssteps))
+
+
 def _permuted_values(symb: SymbolicFactor, a: CscMatrix) -> np.ndarray:
     """Re-permute values of a new matrix with the analysed pattern."""
     ap = a.permute(symb.perm)
@@ -186,7 +283,7 @@ def solve(num: NumericFactor, b: np.ndarray, job: int = 0,
         refine = 0
 
     if (job == 0 and refine > 0 and num.options.refine_device
-            and num.options.mode == "batched"
+            and num.options.mode == "batched" and num.mdf is None
             and num.options.schedule in ("scan", "mega")
             and _accelerator_run()):
         x = _solve_refined_device(num, bb, refine)
@@ -304,7 +401,15 @@ def _solve_once(num: NumericFactor, bb: np.ndarray, job: int) -> np.ndarray:
     xp = np.zeros((n + 1, nrhs), dtype=np.float64)
     xp[:n] = bb[symb.perm]
 
-    if num.options.mode == "stf":
+    if num.mdf is not None:
+        import jax.numpy as jnp
+
+        _, _, ssteps = num.mdf
+        dt = (jnp.float64 if num.options.dtype == "float64"
+              else jnp.float32)
+        xd = ssteps[job](num.pool, jnp.asarray(xp, dt))
+        out_p = np.asarray(xd)[:n].astype(np.float64)
+    elif num.options.mode == "stf":
         from .numeric.solve import solve_bwd_np, solve_fwd_np
 
         if job in (0, 1):

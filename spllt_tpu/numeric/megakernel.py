@@ -26,6 +26,17 @@ Kind bodies reuse the standalone kernels' elimination routines
 fused update pipeline of pallas_update (one-hot MXU row gathers from
 nb-row windows, VMEM destination accumulation, deferred RMW writeback).
 
+Destination accumulation (round-5 redesign) is branch-free segment
+reduction: tasks are destination-sorted, so each step's ``group`` tasks
+form <= group contiguous same-destination segments.  The per-task tables
+carry a within-step segment index and a keep flag, and the kernel runs
+``pacc[seg_i] = pacc[seg_i]*keep_i + u3[i]`` — no conditional chain.
+Segment COMPLETIONS (host-computed: the segment's last task is its
+stream-global group end) RMW their destination tile; the destination
+reads are prefetched ONE STEP AHEAD (the completion schedule is static),
+so the HBM round-trip that used to stall short dest groups is hidden.
+A partial segment spanning the step boundary is carried in ``acc``.
+
 Reference analogue: this is the STF task stream of
 ``spllt_stf_factorize`` (/root/reference/src/spllt_stf_mod.F90:18-192)
 executed as one statically scheduled device program instead of a
@@ -51,7 +62,16 @@ __all__ = ["build_mega_stream", "mega_factorize", "MegaFactorExecutor"]
 
 KIND_UPD, KIND_POTRF, KIND_TRSM = 0, 1, 2
 KIND_NOOP = -1           # padded steps: no loads, no compute, no writes
-_BLKN_BITS = 10          # blkn in aux bits 0-9; first/last flags above
+# UPD aux bit layout (per slot i of a step): bits 0-9 blkn of task i,
+# bit 10 keep (task i continues the within-step segment), bit 11 sact
+# (segment i of this step COMPLETES here -> dest RMW), bits 12-15 seg
+# (within-step segment index of task i).  POTRF/TRSM aux = kv (< 1024).
+_BLKN_BITS = 10
+_KEEP_BIT, _SACT_BIT, _SEG_BITS = 10, 11, 12
+# segmeta bit layout (per step): bit 0 cin (task 0 continues the carry
+# accumulator), bit 1 c2 (the carry stays open through this step), bits
+# 2-5 oseg (within-step index of the segment left open at step end)
+_META_C2_BIT, _META_OSEG_BITS = 1, 2
 
 
 def _i0():
@@ -62,6 +82,54 @@ def _i0():
 # ===================================================================== #
 # stream construction (host side)
 # ===================================================================== #
+
+def _upd_slot_tables(d, blkn, group, scratch):
+    """Per-slot segment tables for one emitted UPD run.
+
+    ``d`` is the destination row per task (dest-sorted, length a
+    multiple of ``group``).  Returns (aux, dst_slots, segmeta): aux
+    packs blkn|keep|sact|seg per slot (see the bit-layout constants),
+    dst_slots[t*G+s] is the dest row of the segment completing in slot
+    s of step t (scratch if none — padded scratch-dest segments are
+    marked inactive so padding costs no DMA at all), and segmeta packs
+    the per-step carry flags cin|c2|oseg.
+    """
+    k = len(d)
+    nst = k // group
+    D = d.reshape(nst, group)
+    first = np.empty(k, bool)
+    first[0] = True
+    first[1:] = d[1:] != d[:-1]
+    last = np.empty(k, bool)
+    last[-1] = True
+    last[:-1] = d[:-1] != d[1:]
+    F = first.reshape(nst, group)
+    L = last.reshape(nst, group)
+    inc = F.copy()
+    inc[:, 0] = False               # slot 0 is always within-step seg 0
+    seg = np.cumsum(inc, axis=1)
+    keep = ~F
+    keep[:, 0] = False              # pacc restarts per step; carry in acc
+    sact = np.zeros((nst, group), bool)
+    sdst = np.full((nst, group), scratch, np.int64)
+    tt, ii = np.nonzero(L)
+    ss = seg[tt, ii]
+    sact[tt, ss] = True
+    sdst[tt, ss] = D[tt, ii]
+    sact &= sdst != scratch         # padded tail: skip the scratch RMW
+    cin = F[:, 0] == 0
+    open_ = L[:, -1] == 0
+    oseg = seg[:, -1].astype(np.int64)
+    c2 = cin & open_ & (oseg == 0)
+    meta = (cin.astype(np.int64)
+            | (c2.astype(np.int64) << _META_C2_BIT)
+            | (oseg << _META_OSEG_BITS))
+    aux = (blkn.reshape(nst, group)
+           | (keep.astype(np.int64) << _KEEP_BIT)
+           | (sact.astype(np.int64) << _SACT_BIT)
+           | (seg.astype(np.int64) << _SEG_BITS)).reshape(k)
+    return aux, sdst.reshape(k), meta
+
 
 def build_mega_stream(fp, group: int, pool_rows: int,
                       kmax: int = 16384) -> list[dict]:
@@ -77,35 +145,28 @@ def build_mega_stream(fp, group: int, pool_rows: int,
     scratch = fp.nblocks * nb            # flat row base of the pad tile
     iden = np.arange(nb, dtype=np.int32)
 
-    runs = []        # (kind, wr, wc, dst, aux, relr, relc) per run
+    runs = []   # (kind, wr, wc, dst, aux, relr, relc, segmeta) per run
 
     def emit(kind, wr, wc, dst, aux, relr, relc, blkn=None):
         """Split a run into <= kmax segments at group boundaries.  UPD
-        first/last flags are computed per segment: a dest group cut at a
-        segment boundary RMWs its partial sum at the cut (partial updates
-        into one destination commute), and segment starts are drain
-        steps, so the previous partial write completes first."""
+        slot tables (keep/seg/sact/segmeta) are computed per emitted
+        segment: a dest group cut at a segment boundary RMWs its partial
+        sum at the cut (partial updates into one destination commute),
+        and segment starts are drain steps, so the previous partial
+        write completes first."""
         k = len(wr)
         seg = max(group, kmax - kmax % group)
         for s0_ in range(0, k, seg):
             s1_ = min(k, s0_ + seg)
             sl = slice(s0_, s1_)
             if kind == KIND_UPD:
-                d = dst[sl]
-                kseg = s1_ - s0_
-                first = np.empty(kseg, bool)
-                first[0] = True
-                first[1:] = d[1:] != d[:-1]
-                last = np.empty(kseg, bool)
-                last[-1] = True
-                last[:-1] = d[:-1] != d[1:]
-                aux_seg = (blkn[sl]
-                           | (first.astype(np.int64) << _BLKN_BITS)
-                           | (last.astype(np.int64) << (_BLKN_BITS + 1)))
+                aux_seg, dst_seg, meta = _upd_slot_tables(
+                    dst[sl], blkn[sl], group, scratch)
             else:
-                aux_seg = aux[sl]
-            runs.append((kind, wr[sl], wc[sl], dst[sl], aux_seg,
-                         relr[sl], relc[sl]))
+                aux_seg, dst_seg = aux[sl], dst[sl]
+                meta = np.zeros((s1_ - s0_) // group, np.int64)
+            runs.append((kind, wr[sl], wc[sl], dst_seg, aux_seg,
+                         relr[sl], relc[sl], meta))
 
     for lvl in range(1, fp.nlevels + 1):
         # ---- UPD: between-update micro-tasks + intra-node syrk ------- #
@@ -196,6 +257,7 @@ def build_mega_stream(fp, group: int, pool_rows: int,
         chunks.append({
             "kind": np.asarray(cur["kind"], np.int32),
             "drain": np.asarray(cur["drain"], np.int32),
+            "segmeta": np.concatenate(cur["segmeta"]).astype(np.int32),
             "wr": np.concatenate(cur["wr"]).astype(np.int32),
             "wc": np.concatenate(cur["wc"]).astype(np.int32),
             "dst": np.concatenate(cur["dst"]).astype(np.int32),
@@ -206,16 +268,17 @@ def build_mega_stream(fp, group: int, pool_rows: int,
         cur = None
 
     ntask = 0
-    for kind, wr, wc, dst, aux, relr, relc in runs:
+    for kind, wr, wc, dst, aux, relr, relc, meta in runs:
         k = len(wr)
         if cur is None or ntask + k > kmax:
             flush()
-            cur = {"kind": [], "drain": [], "wr": [], "wc": [],
-                   "dst": [], "aux": [], "relr": [], "relc": []}
+            cur = {"kind": [], "drain": [], "segmeta": [], "wr": [],
+                   "wc": [], "dst": [], "aux": [], "relr": [], "relc": []}
             ntask = 0
         nsteps = k // group
         cur["kind"].extend([kind] * nsteps)
         cur["drain"].extend([1] + [0] * (nsteps - 1))
+        cur["segmeta"].append(meta)
         cur["wr"].append(wr)
         cur["wc"].append(wc)
         cur["dst"].append(dst)
@@ -246,13 +309,13 @@ def pad_chunks_uniform(chunks, group: int, nb: int, scratch: int):
         c["drain"] = np.concatenate(
             [c["drain"], np.ones(1, np.int32),
              np.zeros(pad - 1, np.int32)])
+        c["segmeta"] = np.concatenate(
+            [c["segmeta"], np.zeros(pad, np.int32)])
         for nm in ("wr", "wc", "dst"):
             c[nm] = np.concatenate(
                 [c[nm], np.full(k, scratch, np.int32)])
-        # blkn=0 | first | last per padded task (own dest group each)
-        aux_pad = np.full(k, (1 << _BLKN_BITS) | (1 << (_BLKN_BITS + 1)),
-                          np.int32)
-        c["aux"] = np.concatenate([c["aux"], aux_pad])
+        # keep=0, sact=0, seg=0: padded slots do no accumulation or DMA
+        c["aux"] = np.concatenate([c["aux"], np.zeros(k, np.int32)])
         for nm in ("relr", "relc"):
             c[nm] = np.concatenate(
                 [c[nm], np.full((k, nb), -1, np.int32)], axis=0)
@@ -263,9 +326,9 @@ def pad_chunks_uniform(chunks, group: int, nb: int, scratch: int):
 # kernel
 # ===================================================================== #
 
-def _kernel(kind_ref, drain_ref, wr_ref, wc_ref, dst_ref, aux_ref,
-            relr, relc, poolf_hbm, out_hbm,
-            acc, winr, winc, dtile, pscr, gstate,
+def _kernel(kind_ref, drain_ref, segmeta_ref, wr_ref, wc_ref, dst_ref,
+            aux_ref, relr, relc, poolf_hbm, out_hbm,
+            acc, winr, winc, dtile, pacc, pscr, wrow,
             semr, semc, semd_r, semd_w, semw,
             *, nb, group, nsteps, pb, precision,
             ablate=frozenset()):
@@ -274,14 +337,20 @@ def _kernel(kind_ref, drain_ref, wr_ref, wc_ref, dst_ref, aux_ref,
     Window prefetch is kind-independent (wr/wc row bases); ``drain``
     steps wait the deferred UPD destination writes before loading their
     own windows (run boundaries are the only cross-kind hazards — see
-    module docstring).  ``gstate`` (SMEM): [0] = UPD dest-group counter,
-    [1]/[2] = pending-write destination row of each dtile slot (-1 =
-    none).
+    module docstring).  UPD destination tiles are prefetched one step
+    ahead into ``dtile[2, group]`` per the static completion schedule
+    (aux sact bits); ``wrow`` (SMEM [2*group]) tracks the pending
+    deferred-write row of each dtile slot (-1 = none).
     """
     t = pl.program_id(0)
     slot = jax.lax.rem(jnp.int32(t), jnp.int32(2))
     nxt = jax.lax.rem(jnp.int32(t) + jnp.int32(1), jnp.int32(2))
     f32 = winr.dtype
+    one_c = jnp.int32(1)
+    sh_keep = jnp.int32(_KEEP_BIT)
+    sh_sact = jnp.int32(_SACT_BIT)
+    sh_seg = jnp.int32(_SEG_BITS)
+    mask4 = jnp.int32(15)
 
     def start_wins_abl(s, step):   # ablation: cost-attribution no-op
         pass
@@ -305,34 +374,71 @@ def _kernel(kind_ref, drain_ref, wr_ref, wc_ref, dst_ref, aux_ref,
 
     start_wins = (start_wins_abl if "dma" in ablate else start_wins_real)
 
-    def wait_write(p):
-        p = jnp.int32(p)   # x64-safe: callers pass python ints 0/1
+    def sact_of(step_slot):
+        return jnp.bitwise_and(
+            jax.lax.shift_right_logical(aux_ref[step_slot], sh_sact),
+            one_c) > 0
+
+    def wait_write(p, s_):
+        # p traced 0/1, s_ python int: finish the deferred write held by
+        # dtile slot (p, s_); wrow stores its destination row
         pltpu.make_async_copy(
-            dtile.at[p], out_hbm.at[pl.ds(gstate[1 + p], nb)],
-            semd_w.at[p]).wait()
-        gstate[1 + p] = jnp.int32(-1)
+            dtile.at[p, jnp.int32(s_)],
+            out_hbm.at[pl.ds(wrow[p * jnp.int32(group) + jnp.int32(s_)],
+                             nb)],
+            semd_w.at[p, jnp.int32(s_)]).wait()
+        wrow[p * jnp.int32(group) + jnp.int32(s_)] = jnp.int32(-1)
+
+    def start_dest_reads(p, step):
+        # prefetch the dest tiles of ``step``'s completing segments
+        for s_ in range(group):
+            @pl.when(sact_of(step * group + s_))
+            def _(s_=s_):
+                @pl.when(wrow[p * jnp.int32(group) + jnp.int32(s_)] >= 0)
+                def _():
+                    wait_write(p, s_)
+                pltpu.make_async_copy(
+                    out_hbm.at[pl.ds(dst_ref[step * group + s_], nb)],
+                    dtile.at[p, jnp.int32(s_)],
+                    semd_r.at[p, jnp.int32(s_)]).start()
 
     @pl.when(t == 0)
     def _():
-        gstate[0] = jnp.int32(0)
-        gstate[1] = jnp.int32(-1)
-        gstate[2] = jnp.int32(-1)
+        acc[:, :] = jnp.zeros((nb, nb), f32)
+        # the branch-free FMA pacc*keep relies on keep=0 overwriting the
+        # slot — but uninitialized VMEM may hold NaN and NaN*0 = NaN, so
+        # the slots must start finite
+        pacc[...] = jnp.zeros((group, nb, nb), f32)
+        for j_ in range(2 * group):
+            wrow[j_] = jnp.int32(-1)
 
-    # run boundary: finish deferred writes, then load this step's windows
+    # run boundary: finish ALL deferred writes, then load this step's
+    # windows and (same-step) destination tiles
     @pl.when(drain_ref[t] > 0)
     def _():
         for p_ in (0, 1):
-            @pl.when(gstate[1 + p_] >= 0)
-            def _(p_=p_):
-                wait_write(p_)
+            for s_ in range(group):
+                @pl.when(wrow[p_ * group + s_] >= 0)
+                def _(p_=p_, s_=s_):
+                    wait_write(jnp.int32(p_), s_)
         start_wins(slot, t)
 
-    # steady state: prefetch the next step's windows (skipped across run
-    # boundaries — the next run may read tiles this run still writes)
+        @pl.when(kind_ref[t] == jnp.int32(KIND_UPD))
+        def _():
+            start_dest_reads(slot, t)
+
+    # steady state: prefetch the next step's windows and dest tiles
+    # (skipped across run boundaries — the next run may read tiles this
+    # run still writes)
     nxt_drain = drain_ref[jnp.minimum(t + 1, nsteps - 1)]
     @pl.when(jnp.logical_and(t + 1 < nsteps, nxt_drain == 0))
     def _():
         start_wins(nxt, t + 1)
+
+        @pl.when(kind_ref[jnp.minimum(t + 1, nsteps - 1)]
+                 == jnp.int32(KIND_UPD))
+        def _():
+            start_dest_reads(nxt, t + 1)
 
     kind = kind_ref[t]
 
@@ -356,9 +462,6 @@ def _kernel(kind_ref, drain_ref, wr_ref, wc_ref, dst_ref, aux_ref,
         # explicit int32 constants: under jax x64 mode python ints trace
         # as int64 and the SMEM scalars are int32
         mask_c = jnp.int32((1 << _BLKN_BITS) - 1)
-        sh_f = jnp.int32(_BLKN_BITS)
-        sh_l = jnp.int32(_BLKN_BITS + 1)
-        one_c = jnp.int32(1)
         bkv = scalars_to_vec(
             [jnp.bitwise_and(aux_ref[t * group + i], mask_c)
              for i in range(group)], group)
@@ -383,46 +486,46 @@ def _kernel(kind_ref, drain_ref, wr_ref, wc_ref, dst_ref, aux_ref,
             acc[:, :] = u3[0]
             return
 
+        # branch-free segment accumulation: pacc[seg_i]*keep_i + u3[i]
         for i in range(group):
-            gi = t * group + i
-            first = jnp.bitwise_and(
-                jax.lax.shift_right_logical(aux_ref[gi], sh_f),
-                one_c) > 0
-            last = jnp.bitwise_and(
-                jax.lax.shift_right_logical(aux_ref[gi], sh_l),
-                one_c) > 0
+            ai = aux_ref[t * group + i]
+            m = jnp.bitwise_and(
+                jax.lax.shift_right_logical(ai, sh_seg), mask4)
+            keepf = jnp.bitwise_and(
+                jax.lax.shift_right_logical(ai, sh_keep),
+                one_c).astype(f32)
+            pacc[m] = pacc[m] * keepf + u3[i]
 
-            @pl.when(first)
-            def _():
-                p = jax.lax.rem(gstate[0], jnp.int32(2))
-                gstate[0] = gstate[0] + jnp.int32(1)
-
-                @pl.when(gstate[1 + p] >= 0)
-                def _():
-                    wait_write(p)
+        # segment completions: prefetched dest tile - segment sum
+        meta = segmeta_ref[t]
+        cinf = jnp.bitwise_and(meta, one_c).astype(f32)
+        for s_ in range(group):
+            @pl.when(sact_of(t * group + s_))
+            def _(s_=s_):
+                si = jnp.int32(s_)
                 pltpu.make_async_copy(
-                    out_hbm.at[pl.ds(dst_ref[gi], nb)], dtile.at[p],
-                    semd_r.at[p]).start()
-
-            @pl.when(first)
-            def _():
-                acc[:, :] = u3[i]
-
-            @pl.when(jnp.logical_not(first))
-            def _():
-                acc[:, :] += u3[i]
-
-            @pl.when(last)
-            def _():
-                p = jax.lax.rem(gstate[0] - jnp.int32(1), jnp.int32(2))
+                    out_hbm.at[pl.ds(dst_ref[t * group + s_], nb)],
+                    dtile.at[slot, si], semd_r.at[slot, si]).wait()
+                if s_ == 0:
+                    # the incoming carry belongs to segment 0 when cin
+                    dtile[slot, si] = (dtile[slot, si] - pacc[si]
+                                       - acc[:, :] * cinf)
+                else:
+                    dtile[slot, si] = dtile[slot, si] - pacc[si]
+                row = dst_ref[t * group + s_]
                 pltpu.make_async_copy(
-                    out_hbm.at[pl.ds(dst_ref[gi], nb)], dtile.at[p],
-                    semd_r.at[p]).wait()
-                dtile[p] -= acc[:, :]
-                pltpu.make_async_copy(
-                    dtile.at[p], out_hbm.at[pl.ds(dst_ref[gi], nb)],
-                    semd_w.at[p]).start()
-                gstate[1 + p] = dst_ref[gi]
+                    dtile.at[slot, si], out_hbm.at[pl.ds(row, nb)],
+                    semd_w.at[slot, si]).start()
+                wrow[slot * jnp.int32(group) + si] = row
+
+        # carry the open segment's partial across the step boundary
+        oseg = jnp.bitwise_and(
+            jax.lax.shift_right_logical(
+                meta, jnp.int32(_META_OSEG_BITS)), mask4)
+        c2f = jnp.bitwise_and(
+            jax.lax.shift_right_logical(meta, jnp.int32(_META_C2_BIT)),
+            one_c).astype(f32)
+        acc[:, :] = pacc[oseg] + acc[:, :] * c2f
 
     # ------------------------------------------------------------------ #
     def kv_and_max():
@@ -474,13 +577,14 @@ def _kernel(kind_ref, drain_ref, wr_ref, wc_ref, dst_ref, aux_ref,
             write_back(winc, slot)
 
     # chunk end: drain deferred UPD writes (the next chunk re-inits
-    # gstate at its t == 0)
+    # wrow at its t == 0)
     @pl.when(t == nsteps - 1)
     def _():
         for p_ in (0, 1):
-            @pl.when(gstate[1 + p_] >= 0)
-            def _(p_=p_):
-                wait_write(p_)
+            for s_ in range(group):
+                @pl.when(wrow[p_ * group + s_] >= 0)
+                def _(p_=p_, s_=s_):
+                    wait_write(jnp.int32(p_), s_)
 
 
 def mega_factorize(poolf, chunks, nb: int, group: int,
@@ -494,7 +598,7 @@ def mega_factorize(poolf, chunks, nb: int, group: int,
         if nsteps == 0:
             continue
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
+            num_scalar_prefetch=7,
             grid=(nsteps,),
             in_specs=[
                 pl.BlockSpec((group, nb), lambda t, *_: (t, _i0())),
@@ -506,13 +610,14 @@ def mega_factorize(poolf, chunks, nb: int, group: int,
                 pltpu.VMEM((nb, nb), jnp.float32),            # acc
                 pltpu.VMEM((2, group, nb, nb), jnp.float32),  # winr
                 pltpu.VMEM((2, group, nb, nb), jnp.float32),  # winc
-                pltpu.VMEM((2, nb, nb), jnp.float32),         # dtile
+                pltpu.VMEM((2, group, nb, nb), jnp.float32),  # dtile
+                pltpu.VMEM((group, nb, nb), jnp.float32),     # pacc
                 pltpu.VMEM((group, nb, nb), jnp.float32),     # pscr
-                pltpu.SMEM((3,), jnp.int32),                  # gstate
+                pltpu.SMEM((2 * group,), jnp.int32),          # wrow
                 pltpu.SemaphoreType.DMA((2, group)),          # semr
                 pltpu.SemaphoreType.DMA((2, group)),          # semc
-                pltpu.SemaphoreType.DMA((2,)),                # dtile reads
-                pltpu.SemaphoreType.DMA((2,)),                # dtile writes
+                pltpu.SemaphoreType.DMA((2, group)),          # dtile reads
+                pltpu.SemaphoreType.DMA((2, group)),          # dtile writes
                 pltpu.SemaphoreType.DMA((group,)),            # writebacks
             ],
         )
@@ -521,12 +626,13 @@ def mega_factorize(poolf, chunks, nb: int, group: int,
                               pb=pb, precision=precision, ablate=ablate),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(poolf.shape, poolf.dtype),
-            input_output_aliases={8: 0},
+            input_output_aliases={9: 0},
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
         )
-        poolf = fn(ch["kind"], ch["drain"], ch["wr"], ch["wc"],
-                   ch["dst"], ch["aux"], ch["relr"], ch["relc"], poolf)
+        poolf = fn(ch["kind"], ch["drain"], ch["segmeta"], ch["wr"],
+                   ch["wc"], ch["dst"], ch["aux"], ch["relr"],
+                   ch["relc"], poolf)
     return poolf
 
 

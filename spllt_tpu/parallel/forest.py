@@ -619,11 +619,14 @@ def _top_psum_slices(md: MultiDeviceFactor):
     return [np.nonzero(bucket_of == bi)[0] for bi in range(nbuckets)]
 
 
-def make_sharded_solve(md: MultiDeviceFactor, mesh, precision="highest"):
+def make_sharded_solve(md: MultiDeviceFactor, mesh, precision="highest",
+                       job: int = 0):
     """Jittable SPMD fwd+bwd solve over mesh axis 'tree'.
 
     step(pools, x) with pools sharded [ndev, nlocal*nb, nb] (factored)
     and x replicated [n+1, nrhs]; returns the replicated solution panel.
+    ``job`` follows the reference job table (include/spllt_iface.h):
+    0 = fwd+bwd, 1 = forward only, 2 = backward only.
     """
     import jax
     import jax.numpy as jnp
@@ -652,17 +655,22 @@ def make_sharded_solve(md: MultiDeviceFactor, mesh, precision="highest"):
             pool = pool_shard[0].reshape(part.nlocal, nb, nb)
             fa = [{k: v[0] for k, v in bt.items()} for bt in fwd_a]
             ba = [{k: v[0] for k, v in bt.items()} for bt in bwd_a]
-            # ---- forward: local subtrees -> psum -> replicated top ----
-            x0 = x
-            xl = _solve_scan_phase(pool, x, fa, n, nb, precision, True)
-            x = x0 + jax.lax.psum(xl - x0, "tree")
-            x = _solve_scan_phase(pool, x, fwd_c, n, nb, precision, True)
-            # ---- backward: replicated top -> local subtrees -> psum ---
-            x = _solve_scan_phase(pool, x, bwd_c, n, nb, precision,
-                                  False)
-            x0 = x
-            xl = _solve_scan_phase(pool, x, ba, n, nb, precision, False)
-            x = x0 + jax.lax.psum(xl - x0, "tree")
+            if job in (0, 1):
+                # ---- forward: local subtrees -> psum -> replicated top
+                x0 = x
+                xl = _solve_scan_phase(pool, x, fa, n, nb, precision,
+                                       True)
+                x = x0 + jax.lax.psum(xl - x0, "tree")
+                x = _solve_scan_phase(pool, x, fwd_c, n, nb, precision,
+                                      True)
+            if job in (0, 2):
+                # ---- backward: replicated top -> local subtrees -> psum
+                x = _solve_scan_phase(pool, x, bwd_c, n, nb, precision,
+                                      False)
+                x0 = x
+                xl = _solve_scan_phase(pool, x, ba, n, nb, precision,
+                                       False)
+                x = x0 + jax.lax.psum(xl - x0, "tree")
             return x
 
         specs_a = [[{k: P("tree") for k in bt} for bt in tabs["fwd_a"]],

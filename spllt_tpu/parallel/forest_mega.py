@@ -67,7 +67,7 @@ def _pad_streams_uniform(streams, group: int, nb: int, scratch_row: int):
     stacked tables are SPMD-uniform (same trick as
     megakernel.pad_chunks_uniform, extended across devices).  Appended
     chunks / steps are all-scratch no-op UPD runs."""
-    from ..numeric.megakernel import _BLKN_BITS, KIND_NOOP
+    from ..numeric.megakernel import KIND_NOOP
 
     cmax = max(len(s) for s in streams)
     tmax = max((len(c["kind"]) for s in streams for c in s), default=0)
@@ -79,11 +79,12 @@ def _pad_streams_uniform(streams, group: int, nb: int, scratch_row: int):
             "kind": np.full(tmax, KIND_NOOP, np.int32),
             "drain": np.concatenate(
                 [np.ones(1, np.int32), np.zeros(tmax - 1, np.int32)]),
+            "segmeta": np.zeros(tmax, np.int32),
             "wr": np.full(k, scratch_row, np.int32),
             "wc": np.full(k, scratch_row, np.int32),
             "dst": np.full(k, scratch_row, np.int32),
-            "aux": np.full(
-                k, (1 << _BLKN_BITS) | (1 << (_BLKN_BITS + 1)), np.int32),
+            # keep=0, sact=0, seg=0: padded slots do no RMW at all
+            "aux": np.zeros(k, np.int32),
             "relr": np.full((k, nb), -1, np.int32),
             "relc": np.full((k, nb), -1, np.int32),
         }
@@ -101,13 +102,13 @@ def _pad_streams_uniform(streams, group: int, nb: int, scratch_row: int):
                 c["drain"] = np.concatenate(
                     [c["drain"], np.ones(1, np.int32),
                      np.zeros(pad - 1, np.int32)])
+                c["segmeta"] = np.concatenate(
+                    [c["segmeta"], np.zeros(pad, np.int32)])
                 for nm in ("wr", "wc", "dst"):
                     c[nm] = np.concatenate(
                         [c[nm], np.full(k, scratch_row, np.int32)])
                 c["aux"] = np.concatenate(
-                    [c["aux"],
-                     np.full(k, (1 << _BLKN_BITS) | (1 << (_BLKN_BITS + 1)),
-                             np.int32)])
+                    [c["aux"], np.zeros(k, np.int32)])
                 for nm in ("relr", "relc"):
                     c[nm] = np.concatenate(
                         [c[nm], np.full((k, nb), -1, np.int32)], axis=0)

@@ -167,3 +167,36 @@ def test_multidevice_solve(ndev):
     xr = solve_bwd_np(ref_pool, splan,
                       solve_fwd_np(ref_pool, splan, np.float64(x0)))
     np.testing.assert_allclose(xs[:n], xr[:n], rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("ndev", [2, 4])
+def test_api_multidevice_factor_solve(ndev):
+    """Options(ndevices>1) routes the PUBLIC factor()/solve() through
+    the forest executors (reference: one spllt_factor entry selects the
+    runtime incl. the distributed one, spllt_mod.F90:141-168)."""
+    from spllt_tpu import factor, make_rhs, solve
+
+    a = poisson2d(20)
+    opts = Options(ordering="amd", nb=16, nemin=8, mode="batched",
+                   dtype="float32", refine=2, ndevices=ndev,
+                   schedule="scan", prune_tree=True)
+    symb = analyse(a, opts)
+    num = factor(symb)
+    assert num.mdf is not None
+    xt, b = make_rhs(a, 2)
+    x = solve(num, b)
+    err = np.linalg.norm(a.matvec(x) - b) / np.linalg.norm(b)
+    assert err < 1e-10        # f32 factor + f64 host refinement
+    # job decomposition: fwd (job=1) then bwd (job=2) == job=0
+    x0 = solve(num, b, refine=0)
+    y = solve(num, b, job=1)
+    x12 = solve(num, y, job=2)
+    assert np.allclose(x12, x0)
+    # refactorization with new values through the same symbolic object
+    import dataclasses as _dc
+    from spllt_tpu.sparse.csc import CscMatrix
+
+    a2 = CscMatrix(a.n, a.colptr, a.rowind, a.values * 2.0)
+    num2 = factor(symb, a=a2)
+    x2 = solve(num2, b)
+    assert np.allclose(x2, x / 2.0, atol=1e-8)
