@@ -205,7 +205,11 @@ def main() -> int:
     elif guard_err:
         rec["error"] = guard_err
     print(json.dumps(rec))
-    return 0 if ok else 1
+    if not ok:
+        return 1
+    # guard passed but only via the scan fallback: exit 2 so automated
+    # lanes can't silently mask a mega-solve regression (ADVICE r4 #4)
+    return 2 if guard_err else 0
 
 
 if __name__ == "__main__":

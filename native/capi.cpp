@@ -67,11 +67,23 @@ int spllt_tpu_analyse(void **handle, const spllt_tpu_options_t *options,
     PyErr_Print();
     return -3;
   }
+  if (!PyTuple_Check(res) || PyTuple_Size(res) < 4) {
+    // analyse_c must return (handle, num_factor, num_flops, num_nodes);
+    // anything else would leave a pending CPython error in the next call
+    Py_DECREF(res);
+    PyErr_Clear();
+    return -3;
+  }
   long long h = PyLong_AsLongLong(PyTuple_GetItem(res, 0));
   if (inform) {
     inform->num_factor = PyLong_AsLongLong(PyTuple_GetItem(res, 1));
     inform->num_flops = PyFloat_AsDouble(PyTuple_GetItem(res, 2));
     inform->num_nodes = PyLong_AsLongLong(PyTuple_GetItem(res, 3));
+  }
+  if (PyErr_Occurred()) {
+    PyErr_Clear();
+    Py_DECREF(res);
+    return -3;
   }
   Py_DECREF(res);
   if (h <= 0) return -3;
@@ -81,6 +93,10 @@ int spllt_tpu_analyse(void **handle, const spllt_tpu_options_t *options,
 
 static int call_int(const char *name, const char *fmt, ...) {
   Gil gil;
+  // capi_module() is NULL when the spllt_tpu import failed (e.g. bad
+  // PYTHONPATH under a host-initialized interpreter); free/finalize
+  // paths reach here without the init guard, so fail soft, not segv
+  if (!capi_module()) return -3;
   va_list ap;
   va_start(ap, fmt);
   PyObject *meth = PyObject_GetAttrString(capi_module(), name);

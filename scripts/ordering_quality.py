@@ -55,10 +55,11 @@ def main() -> int:
             except Exception as e:  # pragma: no cover
                 print(f"{name:16s} {a.n:7d} {ordering:>8s}  FAILED: {e}")
                 continue
+            wmean = f"{widths.mean():7.1f}" if widths.size else "      -"
+            wmax = f"{widths.max():7d}" if widths.size else "      -"
             print(f"{name:16s} {a.n:7d} {ordering:>8s} "
                   f"{s.inform.num_factor:12d} {s.inform.num_flops:12d} "
-                  f"{s.nnodes:7d} {fp.nlevels:7d} {widths.mean():7.1f} "
-                  f"{widths.max():7d}")
+                  f"{s.nnodes:7d} {fp.nlevels:7d} {wmean} {wmax}")
     return 0
 
 

@@ -54,6 +54,11 @@ class NumericFactor:
     def mode(self) -> str:
         return self.options.mode
 
+    @property
+    def trace_log(self):
+        """TraceLog accumulated under Options(trace=True), else None."""
+        return getattr(self.options, "_trace_log", None)
+
 
 def _plans(symb: SymbolicFactor, options: Options):
     """Plans for (symb, blocking options) — cached on the symbolic object
@@ -84,12 +89,51 @@ def _plans(symb: SymbolicFactor, options: Options):
     return cache[key]
 
 
+def _diag(options: Options, name: str, flops: float = 0.0):
+    """Phase context for Options.timers/trace (ref timer_mod/trace_mod):
+    timers feed the global registry (utils.timers.print_timers /
+    timer_csv); trace events accumulate on the symbolic object's
+    ``_trace`` TraceLog (dump via num.trace_log.dump/dump_paje)."""
+    import contextlib
+
+    if not (options.timers or options.trace):
+        return contextlib.nullcontext()
+    stack = contextlib.ExitStack()
+    if options.timers:
+        from .utils.timers import timer
+
+        stack.enter_context(timer(name, flops=flops))
+    if options.trace:
+        tl = getattr(options, "_trace_log", None)
+        if tl is None:
+            from .utils.tracing import TraceLog
+
+            tl = TraceLog()
+            object.__setattr__(options, "_trace_log", tl)
+        stack.enter_context(tl.event(name))
+    return stack
+
+
+def trace_log(obj):
+    """The TraceLog accumulated under Options(trace=True) for this
+    Options/NumericFactor (None if tracing is off)."""
+    opts = obj.options if hasattr(obj, "options") else obj
+    return getattr(opts, "_trace_log", None)
+
+
 def factor(symb: SymbolicFactor, a: CscMatrix | None = None,
            options: Options | None = None) -> NumericFactor:
     """Numeric factorization.  ``a`` defaults to the matrix captured at
     analyse time; passing a new matrix with the same pattern refactorizes
     (the akeep-reuse workflow of the reference)."""
     options = options or symb.options
+    with _diag(options, "factor",
+               flops=float(getattr(symb.inform, "num_flops", 0) or 0)):
+        return _factor_impl(symb, a, options)
+
+
+def _factor_impl(symb: SymbolicFactor, a: CscMatrix | None,
+                 options: Options) -> NumericFactor:
     values = (symb.a_perm.values if a is None
               else symb.a_perm_values_of(a) if hasattr(
                   symb, "a_perm_values_of") else _permuted_values(symb, a))
@@ -209,8 +253,12 @@ def _multidevice_setup(symb: SymbolicFactor, options: Options, plan,
         try:
             from .parallel.forest_mega import make_sharded_factorize_mega
 
+            # interpret iff the MESH devices are CPU (the default
+            # backend may be a TPU while ndevices>1 runs on a virtual
+            # host mesh)
             fstep = make_sharded_factorize_mega(
-                md, mesh, np.float32, precision=options.precision)
+                md, mesh, np.float32, precision=options.precision,
+                interpret=devs[0].platform == "cpu")
         except ValueError:
             fstep = None    # ineligible (nb on TPU): scan bodies
     if fstep is None:
@@ -273,6 +321,12 @@ def solve(num: NumericFactor, b: np.ndarray, job: int = 0,
     error from the f32 factor (TPU-idiomatic replacement for the
     reference's all-double arithmetic).
     """
+    with _diag(num.options, f"solve(job={job})"):
+        return _solve_impl(num, b, job, refine)
+
+
+def _solve_impl(num: NumericFactor, b: np.ndarray, job: int,
+                refine: int | None) -> np.ndarray:
     symb = num.symb
     n = symb.n
     one_d = b.ndim == 1

@@ -603,9 +603,9 @@ def mega_factorize(poolf, chunks, nb: int, group: int,
             in_specs=[
                 pl.BlockSpec((group, nb), lambda t, *_: (t, _i0())),
                 pl.BlockSpec((group, nb), lambda t, *_: (t, _i0())),
-                pl.BlockSpec(memory_space=pltpu.ANY),    # poolf (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),    # poolf (HBM)
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((nb, nb), jnp.float32),            # acc
                 pltpu.VMEM((2, group, nb, nb), jnp.float32),  # winr

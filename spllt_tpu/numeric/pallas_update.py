@@ -279,9 +279,9 @@ def pallas_apply_updates(poolf, tasks, nb: int, group: int = 8,
                          lambda t, dst, lor, loc, blkn: (t, _i0())),
             pl.BlockSpec((group, nb),
                          lambda t, dst, lor, loc, blkn: (t, _i0())),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # poolf (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # poolf (HBM)
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((nb, nb), jnp.float32),           # acc
             pltpu.VMEM((2, group, nb, nb), jnp.float32),  # row windows

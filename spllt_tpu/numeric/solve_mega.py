@@ -406,10 +406,10 @@ def mega_solve_chunks(poolf, work, chunks, nb: int, nr: int, group: int,
             grid=(nsteps,),
             in_specs=[
                 pl.BlockSpec((group, nb), lambda t, *_: (t, _i0())),
-                pl.BlockSpec(memory_space=pltpu.ANY),    # poolf (HBM)
-                pl.BlockSpec(memory_space=pltpu.ANY),    # work (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),    # poolf (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),    # work (HBM)
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((nr, nb), jnp.float32),            # acc
                 pltpu.VMEM((2, group, nb, nb), jnp.float32),  # wina

@@ -537,7 +537,7 @@ def make_sharded_factorize(md: MultiDeviceFactor, mesh, dtype,
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     nb = md.nb
     part = md.part
@@ -631,7 +631,7 @@ def make_sharded_solve(md: MultiDeviceFactor, mesh, precision="highest",
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     nb = md.nb
     part = md.part

@@ -177,7 +177,7 @@ def make_sharded_factorize_mega(md, mesh, dtype, precision="highest",
     forest.make_sharded_factorize)."""
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from ..numeric.megakernel import _on_cpu, mega_factorize

@@ -69,11 +69,54 @@ def read_matrix_market(path: str, force_posdef: bool = True) -> CscMatrix:
     return a
 
 
+def _parse_fortran_format(fmt: str):
+    """Field width of a Fortran edit descriptor like ``(26I3)``,
+    ``(8I10)``, ``(3E25.16)``, ``(1P,5D16.9)``.  Returns the width w (or
+    None when the descriptor is unrecognized — caller falls back to
+    whitespace splitting)."""
+    import re
+
+    m = re.search(r"(\d*)\s*([IEFDG])\s*(\d+)(?:\.\d+)?",
+                  fmt.upper().replace(" ", ""))
+    if not m:
+        return None
+    return int(m.group(3))
+
+
+def _parse_fixed(cards: str, width: int | None, count: int) -> np.ndarray:
+    """Parse ``count`` numbers from card images by the DECLARED field
+    width (the reference reads via SPRAL's Fortran formatted reads, so
+    abutting fields — large indices under (8I10), no-blank negative
+    exponents — must parse; whitespace splitting breaks there)."""
+    if width is None:
+        return _parse_floats(cards)[:count]
+    toks: list[str] = []
+    for line in cards.split("\n"):
+        line = line.rstrip("\r\n")
+        for s0 in range(0, len(line), width):
+            tok = line[s0:s0 + width].strip()
+            if tok:
+                toks.append(tok)
+    toks = toks[:count]
+    # Fortran allows D exponents and omitted E ("1.234-05")
+    import re
+
+    def fix(t):
+        t = t.replace("D", "E").replace("d", "e")
+        t = re.sub(r"(?<=[0-9.])([+-]\d+)$",
+                   lambda m: "e" + m.group(1), t) \
+            if "e" not in t and "E" not in t else t
+        return t
+
+    return np.asarray([float(fix(t)) for t in toks])
+
+
 def read_rutherford_boeing(path: str,
                            force_posdef: bool = True) -> CscMatrix:
     """Read a Rutherford-Boeing .rb / .rsa file (real symmetric
     assembled).  Format: 4-5 header lines then column pointers, row
-    indices, and (optionally) values in fixed-width Fortran fields."""
+    indices, and (optionally) values in fixed-width Fortran fields,
+    sliced by the DECLARED formats (line 4), not whitespace."""
     with _open(path) as f:
         f.readline()  # title
         l2 = f.readline().split()
@@ -83,21 +126,29 @@ def read_rutherford_boeing(path: str,
         l3 = f.readline().split()
         mxtype = l3[0].lower()
         nrow, ncol, nnz = int(l3[1]), int(l3[2]), int(l3[3])
-        f.readline()  # formats line
+        fmts = f.readline()  # formats line: ptrfmt indfmt valfmt
+        import re
+
+        fmt_fields = re.findall(r"\([^)]*\)", fmts)
+        wptr = _parse_fortran_format(fmt_fields[0]) \
+            if len(fmt_fields) > 0 else None
+        wind = _parse_fortran_format(fmt_fields[1]) \
+            if len(fmt_fields) > 1 else None
+        wval = _parse_fortran_format(fmt_fields[-1]) \
+            if len(fmt_fields) > 2 else None
         if mxtype[1] not in ("s", "u"):
             raise ValueError(f"unsupported RB matrix type {mxtype}")
 
         def read_cards(ncards):
             return "\n".join(f.readline() for _ in range(ncards))
 
-        colptr = _parse_floats(read_cards(ptrcrd))[: ncol + 1] \
+        colptr = _parse_fixed(read_cards(ptrcrd), wptr, ncol + 1) \
             .astype(np.int64) - 1
-        rowind = _parse_floats(read_cards(indcrd))[:nnz] \
+        rowind = _parse_fixed(read_cards(indcrd), wind, nnz) \
             .astype(np.int64) - 1
         vals = None
         if valcrd > 0 and mxtype[0] in ("r", "i"):
-            txt = read_cards(valcrd).replace("D", "E").replace("d", "e")
-            vals = _parse_floats(txt)[:nnz]
+            vals = _parse_fixed(read_cards(valcrd), wval, nnz)
     cols = np.repeat(np.arange(ncol, dtype=np.int64), np.diff(colptr))
     if vals is None:
         a = CscMatrix.from_coo(ncol, rowind, cols, np.zeros(nnz))
