@@ -62,7 +62,36 @@ def subtree_np(pool: np.ndarray, values: np.ndarray, fp) -> np.ndarray:
 # ===================================================================== #
 # JAX batched executor
 # ===================================================================== #
+def _dotx(a, b, dims, f32):
+    """Exact data-movement contraction: precision=HIGHEST forces XLA's
+    full-fidelity multi-pass scheme (measured on this backend: DEFAULT
+    truncates f32 AND bf16 operands to one bf16 pass — an identity
+    one-hot move loses 8 mantissa bits; HIGHEST is bit-exact at ~87% of
+    bf16 peak per BASELINE's gemm sweep)."""
+    return jax.lax.dot_general(a, b, dims, precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=f32)
+
+
 class DenseSubtreeExecutor:
+    """Batched dense coarse-leaf phase, block-level MXU data movement.
+
+    Front assembly and factored-column scatter-back run as chunked
+    one-hot contractions between POOL TILES and fronts — the
+    element-granular advanced indexing they replace serialized on TPU
+    (measured round 5: 128 ms assembly + 832 ms scatter-back at Poisson
+    32³ vs ~2 ms for the whole phase this way).  Assembly reads the
+    already-assembled pool (assemble_jax runs first in the factor
+    pipeline), so no value gather exists at all:
+
+        F[sub]  = Σ_blocks P_rᵀ · tile · P_c      (assembly)
+        tile    = P_r · F[sub] · P_cᵀ             (scatter-back)
+
+    with P_r/P_c the per-block one-hot position maps (sc_rpos/sc_cpos)
+    and every contraction at precision=HIGHEST (exact movement).
+    """
+
+    _CHUNK_ELEMS = 128 * 128 * 128   # gathered fronts per chunk ~8 MB
+
     def __init__(self, fp, dtype=jnp.float32):
         self.fp = fp
         self.nb = fp.nb
@@ -70,9 +99,6 @@ class DenseSubtreeExecutor:
         i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)
         self._tabs = []
         for b in fp.dense or []:
-            # gather-based assembly: front slot -> value index (or nval =
-            # zero pad).  TPU scatters are element-serialized; the
-            # equivalent gather streams at full bandwidth.
             ns, sp = int(b["nsub"]), int(b["spad"])
             self._interpret = _on_cpu()
             # route EVERY bucket through the pallas potrf body on TPU by
@@ -89,15 +115,11 @@ class DenseSubtreeExecutor:
                      if use_pallas else 0)
             if group and ns % group:
                 ns = ns + (group - ns % group)   # pad fronts (kvec=0)
-            idx = np.full((ns, sp, sp), -1, dtype=np.int64)
-            idx[b["asm_sub"], b["asm_r"], b["asm_c"]] = b["asm_vidx"]
             kvec = np.zeros(ns, dtype=np.int64)
             kvec[:int(b["nsub"])] = b["kvec"]
-            b = dict(b, kvec=kvec)
             self._tabs.append(dict(
                 spad=sp, nsub=ns, group=group,
-                kvec=i32(b["kvec"]),
-                asm_idx=i32(np.where(idx < 0, 2**31 - 1, idx)),
+                kvec=i32(kvec),
                 sc_blk=i32(b["sc_blk"]), sc_sub=i32(b["sc_sub"]),
                 sc_rpos=i32(b["sc_rpos"]),
                 sc_rval=jnp.asarray(b["sc_rval"]),
@@ -108,26 +130,57 @@ class DenseSubtreeExecutor:
 
     def _build(self):
         nb = self.nb
-        metas = [(t["spad"], t["nsub"], t["group"]) for t in self._tabs]
+        metas = [(t["spad"], t["nsub"], t["group"],
+                  int(t["sc_blk"].shape[0])) for t in self._tabs]
 
         def run(pool, values, tabs):
-            vext = jnp.concatenate(
-                [values, jnp.zeros((1,), dtype=values.dtype)])
-            nval = values.shape[0]
-            for (sp, ns, grp), t in zip(metas, tabs):
-                f = vext[jnp.minimum(t["asm_idx"], nval)]
+            f32 = pool.dtype
+            pdt = f32     # one-hots in the pool dtype; HIGHEST dots
+
+            def onehots(t, sl, sp):
+                # P_r [C, nb, sp], P_c [C, nb, sp] — exact one-hots
+                iot = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sp), 2)
+                pr = ((iot == t["sc_rpos"][sl][:, :, None])
+                      & t["sc_rval"][sl][:, :, None]).astype(pdt)
+                pc = ((iot == t["sc_cpos"][sl][:, :, None])
+                      & t["sc_cval"][sl][:, :, None]).astype(pdt)
+                return pr, pc
+            for (sp, ns, grp, nblk), t in zip(metas, tabs):
+                chunk = max(1, self._CHUNK_ELEMS // (sp * sp))
+                # ---- assembly: fronts from pool tiles ----------------- #
+                f = jnp.zeros((ns, sp, sp), f32)
+                for c0 in range(0, nblk, chunk):
+                    sl = slice(c0, min(nblk, c0 + chunk))
+                    pr, pc = onehots(t, sl, sp)
+                    tiles = pool[t["sc_blk"][sl]]          # [C, nb, nb]
+                    # contrib = P_rᵀ tile P_c  (exact 3-pass movement)
+                    h = _dotx(tiles, pc,
+                              (((2,), (1,)), ((0,), (0,))), f32)
+                    # h [C, nb, sp]; contrib = P_rᵀ h -> [C, sp, sp]
+                    contrib = _dotx(
+                        h, pr, (((1,), (1,)), ((0,), (0,))), f32)
+                    # contrib dims: [C, sp(c), sp(r)] -> transpose r,c
+                    contrib = jnp.swapaxes(contrib, 1, 2)
+                    f = f.at[t["sc_sub"][sl]].add(contrib)
+                # ---- batched partial Cholesky ------------------------- #
                 if grp:
                     f = pallas_potrf_batch(f, t["kvec"], sp, group=grp,
                                            interpret=self._interpret)
                 else:
                     f = _potrf_batch_blocked(f, t["kvec"], sp)
-                rp = jnp.where(t["sc_rval"], t["sc_rpos"], 0)
-                cp = jnp.where(t["sc_cval"], t["sc_cpos"], 0)
-                vals = f[t["sc_sub"][:, None, None],
-                         rp[:, :, None], cp[:, None, :]]
-                mask = (t["sc_rval"][:, :, None]
-                        & t["sc_cval"][:, None, :]).astype(pool.dtype)
-                pool = pool.at[t["sc_blk"]].set(vals * mask)
+                # ---- scatter-back: tiles from fronts ------------------ #
+                for c0 in range(0, nblk, chunk):
+                    sl = slice(c0, min(nblk, c0 + chunk))
+                    pr, pc = onehots(t, sl, sp)
+                    fg = f[t["sc_sub"][sl]]                # [C, sp, sp]
+                    # tile = P_r F P_cᵀ
+                    h = _dotx(fg, pc,
+                              (((2,), (2,)), ((0,), (0,))), f32)
+                    # h [C, sp, nb]; tile = P_r h -> [C, nb, nb]
+                    tiles = _dotx(h, pr,
+                                  (((1,), (2,)), ((0,), (0,))), f32)
+                    tiles = jnp.swapaxes(tiles, 1, 2)
+                    pool = pool.at[t["sc_blk"][sl]].set(tiles)
             return pool
 
         return run

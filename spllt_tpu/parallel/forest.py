@@ -586,7 +586,7 @@ def make_sharded_factorize(md: MultiDeviceFactor, mesh, dtype,
             inner, mesh=mesh,
             in_specs=(P("tree"), P(), P("tree"), P("tree"),
                       [{k: P("tree") for k in bt} for bt in a_tabs]),
-            out_specs=P("tree"), check_rep=False)
+            out_specs=P("tree"), check_vma=False)
         return fn(pools, top_init, blk_n, srcvec, a_tabs)
 
     return step
@@ -678,7 +678,7 @@ def make_sharded_solve(md: MultiDeviceFactor, mesh, precision="highest",
         fn = shard_map(
             inner, mesh=mesh,
             in_specs=tuple([P("tree"), P()] + specs_a),
-            out_specs=P(), check_rep=False)
+            out_specs=P(), check_vma=False)
         return fn(pools, x, tabs["fwd_a"], tabs["bwd_a"])
 
     return step

@@ -180,11 +180,14 @@ def make_sharded_factorize_mega(md, mesh, dtype, precision="highest",
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    from ..numeric.megakernel import _on_cpu, mega_factorize
+    from ..numeric.megakernel import mega_factorize
 
     if np.dtype(dtype) != np.float32:
         raise ValueError("mega distributed path is float32-only")
-    interpret = _on_cpu() if interpret is None else interpret
+    if interpret is None:
+        # interpret iff the MESH devices are CPU: the default backend
+        # may be a TPU while the mesh is a virtual host mesh (axon)
+        interpret = mesh.devices.flat[0].platform == "cpu"
     if not interpret and md.nb % 128 != 0:
         raise ValueError("mega distributed path needs nb % 128 == 0 on TPU")
     group = group or (2 if interpret else 8)
@@ -225,7 +228,7 @@ def make_sharded_factorize_mega(md, mesh, dtype, precision="highest",
             in_specs=(P("tree"), P(),
                       [{k: P("tree") for k in t} for t in a_dev],
                       [{k: P() for k in c} for c in c_dev]),
-            out_specs=P("tree"), check_rep=False)
+            out_specs=P("tree"), check_vma=False)
         return fn(pools, top_init, a_dev, c_dev)
 
     return step
