@@ -267,10 +267,38 @@ def _multidevice_setup(symb: SymbolicFactor, options: Options, plan,
     import jax as _jax
 
     fstep = _jax.jit(fstep)
-    ssteps = {job: _jax.jit(make_sharded_solve(
-        md, mesh, precision=options.precision, job=job))
-        for job in (0, 1, 2)}
-    hit = (md, mesh, fstep, ssteps)
+    interp = devs[0].platform == "cpu"
+    scan_steps: dict = {}
+    mega_steps: dict = {}
+
+    def solve_step(job: int, nrhs: int):
+        """Per-(job, padded-nrhs) sharded solve step; the PRODUCTION
+        solve-megakernel bodies when eligible, scan bodies otherwise."""
+        if options.schedule == "mega" and options.dtype == "float32":
+            k = (job, max(8, -(-nrhs // 8) * 8))
+            s = mega_steps.get(k)
+            if s is None:
+                try:
+                    from .parallel.forest_mega import \
+                        make_sharded_solve_mega
+
+                    s = _jax.jit(make_sharded_solve_mega(
+                        md, symb, plan, mesh, nrhs,
+                        precision=options.precision, job=job,
+                        interpret=interp))
+                except ValueError:
+                    s = False    # ineligible: remember the fallback
+                mega_steps[k] = s
+            if s:
+                return s
+        s = scan_steps.get(job)
+        if s is None:
+            s = _jax.jit(make_sharded_solve(
+                md, mesh, precision=options.precision, job=job))
+            scan_steps[job] = s
+        return s
+
+    hit = (md, mesh, fstep, solve_step)
     symb._cache[key] = hit
     return hit
 
@@ -285,8 +313,8 @@ def _factor_multidevice(symb: SymbolicFactor, values, options: Options,
 
     if options.dtype == "float64":
         ensure_x64()
-    md, mesh, fstep, ssteps = _multidevice_setup(symb, options, plan,
-                                                 fplan, splan)
+    md, mesh, fstep, solve_step = _multidevice_setup(symb, options, plan,
+                                                     fplan, splan)
     dtype = np.float64 if options.dtype == "float64" else np.float32
     pools_np, top_np = md.local_pools(values, dtype=dtype)
     pools = jax.device_put(jnp.asarray(pools_np),
@@ -299,7 +327,7 @@ def _factor_multidevice(symb: SymbolicFactor, values, options: Options,
     return NumericFactor(symb=symb, plan=plan, fplan=fplan, splan=splan,
                          pool=pools, values_perm=np.asarray(values),
                          options=options, inform=inform,
-                         mdf=(md, mesh, ssteps))
+                         mdf=(md, mesh, solve_step))
 
 
 def _permuted_values(symb: SymbolicFactor, a: CscMatrix) -> np.ndarray:
@@ -458,10 +486,10 @@ def _solve_once(num: NumericFactor, bb: np.ndarray, job: int) -> np.ndarray:
     if num.mdf is not None:
         import jax.numpy as jnp
 
-        _, _, ssteps = num.mdf
+        _, _, solve_step = num.mdf
         dt = (jnp.float64 if num.options.dtype == "float64"
               else jnp.float32)
-        xd = ssteps[job](num.pool, jnp.asarray(xp, dt))
+        xd = solve_step(job, nrhs)(num.pool, jnp.asarray(xp, dt))
         out_p = np.asarray(xd)[:n].astype(np.float64)
     elif num.options.mode == "stf":
         from .numeric.solve import solve_bwd_np, solve_fwd_np

@@ -232,3 +232,230 @@ def make_sharded_factorize_mega(md, mesh, dtype, precision="highest",
         return fn(pools, top_init, a_dev, c_dev)
 
     return step
+
+
+# --------------------------------------------------------------------- #
+# distributed solve with the PRODUCTION solve-megakernel bodies
+# --------------------------------------------------------------------- #
+
+def build_device_solve_mega_streams(md, symb, plan, group: int):
+    """Per-device fwd/bwd solve-mega chunk tables + the replicated top
+    chunks.  The GLOBAL panel-space stream (plan/solve_mega) is split by
+    subtree owner: each task carries the node that emitted it, local
+    tasks keep global work-array addressing (the work panel is
+    replicated; the delta-psum merges cross-device panel adds) while
+    their factor-block reads are remapped into the device-local pool
+    layout.  Reference bar: identical kernel bodies across runtimes
+    (/root/reference/src/PaRSEC/factorize.jdf:363-566)."""
+    from ..numeric.solve_mega import chunk_solve_runs
+    from ..plan.solve_mega import build_solve_mega_plan
+
+    part = md.part
+    nb = md.nb
+    ndev = part.ndev
+    smp = build_solve_mega_plan(symb, plan)
+    owner = part.part_of_node
+    nblocks_g = smp.P // nb - 1
+    work_scratch = smp.P - nb
+    pool_scratch_local = (part.nlocal - 1) * nb
+    L = part.blk_local
+
+    def remap_wA(wA):
+        blk = wA // nb
+        out = np.where(blk >= nblocks_g, part.nlocal - 1,
+                       L[np.minimum(blk, nblocks_g - 1)])
+        return out * nb
+
+    def split(runs):
+        dev_runs = [[] for _ in range(ndev)]
+        top_runs = []
+        for r in runs:
+            own_dev = owner[r["own"]]
+            for d, dst_list in enumerate(dev_runs):
+                sel = own_dev == d
+                if sel.any():
+                    rr = {k: v[sel] for k, v in r.items()
+                          if k not in ("kind", "own")}
+                    rr["kind"] = r["kind"]
+                    rr["wA"] = remap_wA(rr["wA"])
+                    dst_list.append(rr)
+            sel = own_dev == -1
+            if sel.any():
+                rr = {k: v[sel] for k, v in r.items()
+                      if k not in ("kind", "own")}
+                rr["kind"] = r["kind"]
+                rr["wA"] = remap_wA(rr["wA"])
+                top_runs.append(rr)
+        return dev_runs, top_runs
+
+    def chunk_dev(dev_runs):
+        per_dev = [chunk_solve_runs(rs, group, nb, work_scratch,
+                                    pool_scratch_local)
+                   for rs in dev_runs]
+        # pad to uniform (nchunks, nsteps) across devices
+        cmax = max(1, max(len(c) for c in per_dev))
+        tmax = max([1] + [len(ch["kind"]) for c in per_dev for ch in c])
+
+        def noop_chunk():
+            k = tmax * group
+            return {
+                "kind": np.full(tmax, -1, np.int32),   # KIND_NOOP
+                "drain": np.concatenate(
+                    [np.ones(1, np.int32), np.zeros(tmax - 1, np.int32)]),
+                "wA": np.full(k, pool_scratch_local, np.int32),
+                "wS": np.full(k, work_scratch, np.int32),
+                "dst": np.full(k, work_scratch, np.int32),
+                "aux": np.full(k, 3, np.int32),        # first|last
+                "rel": np.full((k, nb), -1, np.int32),
+            }
+
+        out = []
+        for c in per_dev:
+            padded = []
+            for ch in c:
+                pad = tmax - len(ch["kind"])
+                if pad > 0:
+                    k = pad * group
+                    ch = dict(ch)
+                    ch["kind"] = np.concatenate(
+                        [ch["kind"], np.full(pad, -1, np.int32)])
+                    ch["drain"] = np.concatenate(
+                        [ch["drain"], np.ones(1, np.int32),
+                         np.zeros(pad - 1, np.int32)])
+                    ch["wA"] = np.concatenate(
+                        [ch["wA"],
+                         np.full(k, pool_scratch_local, np.int32)])
+                    for nm in ("wS", "dst"):
+                        ch[nm] = np.concatenate(
+                            [ch[nm], np.full(k, work_scratch, np.int32)])
+                    ch["aux"] = np.concatenate(
+                        [ch["aux"], np.full(k, 3, np.int32)])
+                    ch["rel"] = np.concatenate(
+                        [ch["rel"], np.full((k, nb), -1, np.int32)],
+                        axis=0)
+                padded.append(ch)
+            while len(padded) < cmax:
+                padded.append(noop_chunk())
+            out.append(padded)
+        tables = []
+        for ci in range(cmax):
+            tables.append({
+                nm: np.stack([out[d][ci][nm] for d in range(ndev)])
+                for nm in out[0][ci]})
+        return tables
+
+    fwd_dev, fwd_top = split(smp.fwd_runs)
+    bwd_dev, bwd_top = split(smp.bwd_runs)
+    return (smp,
+            chunk_dev(fwd_dev),
+            chunk_solve_runs(fwd_top, group, nb, work_scratch,
+                             pool_scratch_local),
+            chunk_dev(bwd_dev),
+            chunk_solve_runs(bwd_top, group, nb, work_scratch,
+                             pool_scratch_local))
+
+
+def make_sharded_solve_mega(md, symb, plan, mesh, nrhs: int,
+                            precision="highest", group: int | None = None,
+                            interpret: bool | None = None, job: int = 0):
+    """Jittable SPMD solve over mesh axis 'tree' running the SOLVE
+    MEGAKERNEL bodies per device (forest.make_sharded_solve runs the
+    scan bodies).  step(pools, x[n+1, nrhs]) -> replicated x.
+
+    Phases mirror the scan solve: fwd = local streams -> work delta-psum
+    -> replicated top stream; bwd = replicated top -> local -> psum.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..numeric.solve_mega import mega_solve_chunks
+
+    nb = md.nb
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform == "cpu"
+    if not interpret and nb % 128 != 0:
+        raise ValueError("solve mega distributed needs nb % 128 == 0")
+    nr = max(8, -(-nrhs // 8) * 8)
+    if group is None:
+        group = 2 if interpret else (16 if nr <= 8 else 8)
+        while (not interpret and group > 8
+               and 4 * group * nb * (2 * nb + 3 * nr) > 10 << 20):
+            group //= 2
+    prec = (jax.lax.Precision.HIGHEST
+            if precision in ("highest", "high")
+            else jax.lax.Precision.DEFAULT)
+
+    smp, fwd_tabs, fwd_top, bwd_tabs, bwd_top = \
+        build_device_solve_mega_streams(md, symb, plan, group)
+    Pp, X = smp.P, smp.X
+
+    def win_idx(ch):
+        d = {}
+        for k, v in ch.items():
+            if k in ("wS", "dst"):
+                assert np.all(np.asarray(v) % nb == 0)
+                v = np.asarray(v) // nb
+            d[k] = jnp.asarray(np.asarray(v).astype(np.int32))
+        return d
+
+    def win_idx_stk(ch):
+        # stacked [ndev, ...] tables: wS/dst are window indices too
+        d = {}
+        for k, v in ch.items():
+            if k in ("wS", "dst"):
+                assert np.all(np.asarray(v) % nb == 0)
+                v = np.asarray(v) // nb
+            d[k] = jnp.asarray(np.asarray(v).astype(np.int32))
+        return d
+
+    fwd_dev = [win_idx_stk(t) for t in fwd_tabs]
+    bwd_dev = [win_idx_stk(t) for t in bwd_tabs]
+    fwd_top_dev = [win_idx(c) for c in fwd_top]
+    bwd_top_dev = [win_idx(c) for c in bwd_top]
+    xp_src = jnp.asarray(smp.xp_src, jnp.int32)
+    col_to_xp = jnp.asarray(smp.col_to_xp, jnp.int32)
+
+    run = dict(nb=nb, nr=nr, group=group, interpret=interpret,
+               precision=prec)
+
+    def step(pools, x):
+        nrhs_ = x.shape[1]
+
+        def inner(pool_shard, x, fwd_a, bwd_a):
+            poolf = pool_shard[0]                    # [nlocal*nb, nb]
+            xp = jnp.pad(x.astype(jnp.float32),
+                         ((0, 0), (0, nr - nrhs_))).T[:, xp_src]
+            work = jnp.concatenate(
+                [jnp.zeros((nr, Pp), jnp.float32), xp], axis=1)
+            fa = [{k: v[0] for k, v in t.items()} for t in fwd_a]
+            ba = [{k: v[0] for k, v in t.items()} for t in bwd_a]
+            if job in (0, 1):
+                w0 = work
+                wl = mega_solve_chunks(poolf, work, fa, **run)
+                work = w0 + jax.lax.psum(wl - w0, "tree")
+                work = mega_solve_chunks(poolf, work, fwd_top_dev, **run)
+            if job in (0, 2):
+                # fresh partial-sum panels for the backward direction
+                # (the fwd panels are direction-local state)
+                work = jnp.concatenate(
+                    [jnp.zeros((nr, Pp), jnp.float32), work[:, Pp:]],
+                    axis=1)
+                work = mega_solve_chunks(poolf, work, bwd_top_dev, **run)
+                w0 = work
+                wl = mega_solve_chunks(poolf, work, ba, **run)
+                work = w0 + jax.lax.psum(wl - w0, "tree")
+            out = work[:nrhs_, Pp:][:, col_to_xp].T
+            return jnp.concatenate(
+                [out, jnp.zeros((1, nrhs_), out.dtype)])
+
+        fn = shard_map(
+            inner, mesh=mesh,
+            in_specs=(P("tree"), P(),
+                      [{k: P("tree") for k in t} for t in fwd_dev],
+                      [{k: P("tree") for k in t} for t in bwd_dev]),
+            out_specs=P(), check_vma=False)
+        return fn(pools, x, fwd_dev, bwd_dev)
+
+    return step

@@ -115,7 +115,10 @@ def build_factor_plan(symb, plan: BlockPlan, coarse=None) -> FactorPlan:
     potrf = []   # (lvl, blk, k)
     trsm = []    # (lvl, diag, dst, k)
     syrk = []    # (lvl, src_i, src_j, dst)
-    updbt = []   # (lvl, dst, mr, mc, svp, C)
+    # updbt accumulated as per-(node, ancestor) ARRAYS (vectorized pair
+    # emission — the per-task python tuples dominated plan build at 64³)
+    updbt_lvl, updbt_dst, updbt_mr = [], [], []
+    updbt_mc, updbt_svp, updbt_cc = [], [], []
     srcvec: list[int] = []    # per (node, kb) source row base, node-major
     srcvec_node: list[int] = []
 
@@ -199,50 +202,63 @@ def build_factor_plan(symb, plan: BlockPlan, coarse=None) -> FactorPlan:
                 p_src = np.arange(lo, len(nrows), dtype=np.int64)
                 tiles_a = pos_a // nb
                 slots_a = pos_a % nb
-                touched = np.unique(tiles_a)
-                map_ids = {}
-                tile_ps: dict[int, np.ndarray] = {}
-                fmax: dict[int, int] = {}
-                # tiles_a is non-decreasing (sorted positions) — slice by
-                # boundaries instead of boolean masks
-                tb_bounds = np.searchsorted(
-                    tiles_a, np.append(touched, touched[-1] + 1))
-                for i_t in range(len(touched)):
-                    tb = int(touched[i_t])
-                    s0, s1 = tb_bounds[i_t], tb_bounds[i_t + 1]
-                    vec = np.full(nb, -1, dtype=np.int32)
-                    vec[slots_a[s0:s1]] = p_src[s0:s1]
-                    map_ids[tb] = register_map(vec)
-                    tile_ps[tb] = p_src[s0:s1]
-                    # deepest source level feeding this dest tile: the
-                    # used source tiles' last-column trsms
-                    st = np.unique(p_src[s0:s1] // nb)
-                    fmax[tb] = int(fact_level[
-                        bid(st, np.minimum(st, C - 1))].max())
-                # column-role tiles: positions that are columns of anc
+                # tiles_a is non-decreasing (sorted positions) — find
+                # the touched tiles by run boundaries, not np.unique
+                cuts = np.flatnonzero(np.diff(tiles_a)) + 1
+                tb_bounds = np.concatenate(
+                    [[0], cuts, [len(tiles_a)]]).astype(np.int64)
+                touched = tiles_a[tb_bounds[:-1]]
+                ntt = len(touched)
+                map_arr = np.empty(ntt, dtype=np.int64)
+                # deepest source level feeding each dest tile: the used
+                # source tiles' last-column trsms
+                src_tile = p_src // nb
+                flev = fact_level[bid(src_tile,
+                                      np.minimum(src_tile, C - 1))]
+                fmax_arr = np.maximum.reduceat(flev, tb_bounds[:-1])
+                vecs = np.full((ntt, nb), -1, dtype=np.int32)
+                seg_idx = np.repeat(np.arange(ntt),
+                                    np.diff(tb_bounds))
+                vecs[seg_idx, slots_a] = p_src
+                for i_t in range(ntt):
+                    map_arr[i_t] = register_map(vecs[i_t])
+                # column-role tiles: touched tiles whose segment starts
+                # before the ancestor-column part ends
                 ncols_part = hi - lo
-                col_tiles = np.unique(tiles_a[:ncols_part])
+                ncol_t = int(np.searchsorted(tb_bounds[:-1], ncols_part,
+                                             side="left"))
                 aT = int(plan.node_ntiles[anc])
                 a0 = int(plan.node_blk_ptr[anc])
-                for jbt in col_tiles:
-                    for ibt in touched:
-                        if ibt < jbt:
-                            continue
-                        # sources: blocks (tile, kb) for kb <= tile; the
-                        # max over the union of the two tiles' source
-                        # levels equals max of the per-tile maxima
-                        lvl = 1 + max(fmax[int(ibt)], fmax[int(jbt)])
-                        dst = a0 + jbt * aT - (jbt * (jbt - 1)) // 2 \
-                            + (ibt - jbt)
-                        updbt.append((lvl, dst, map_ids[int(ibt)],
-                                      map_ids[int(jbt)], svp0, C))
-                        upd_level[dst] = max(upd_level[dst], lvl)
+                # vectorized (jbt <= ibt) pair emission
+                jj, ii = np.meshgrid(np.arange(ncol_t), np.arange(ntt),
+                                     indexing="ij")
+                sel = ii >= jj
+                jj, ii = jj[sel], ii[sel]
+                jbt = touched[jj]
+                ibt = touched[ii]
+                lvl_v = 1 + np.maximum(fmax_arr[ii], fmax_arr[jj])
+                dst_v = a0 + jbt * aT - (jbt * (jbt - 1)) // 2 \
+                    + (ibt - jbt)
+                updbt_lvl.append(lvl_v)
+                updbt_dst.append(dst_v)
+                updbt_mr.append(map_arr[ii])
+                updbt_mc.append(map_arr[jj])
+                updbt_svp.append(np.full(len(dst_v), svp0, np.int64))
+                updbt_cc.append(np.full(len(dst_v), C, np.int64))
+                np.maximum.at(upd_level, dst_v, lvl_v)
             anc = int(sparent[anc])
 
+    ub_lvl = (np.concatenate(updbt_lvl) if updbt_lvl
+              else np.empty(0, np.int64))
+    ub = [np.concatenate(x) if x else np.empty(0, np.int64)
+          for x in (updbt_dst, updbt_mr, updbt_mc, updbt_svp, updbt_cc)]
+
     nlevels = 0
-    for tl in (potrf, trsm, syrk, updbt):
+    for tl in (potrf, trsm, syrk):
         if tl:
             nlevels = max(nlevels, max(t[0] for t in tl))
+    if len(ub_lvl):
+        nlevels = max(nlevels, int(ub_lvl.max()))
 
     # order potrf/trsm within each level by column count (descending) so
     # the pallas kernels' per-group kvmax panel skipping sees groups of
@@ -262,8 +278,7 @@ def build_factor_plan(symb, plan: BlockPlan, coarse=None) -> FactorPlan:
                                        cols(syrk, 1), cols(syrk, 2),
                                        cols(syrk, 3))
     u_ptr, (u_dst, u_mr, u_mc, u_svp, u_c) = _bucket(
-        cols(updbt, 0), nlevels, cols(updbt, 1), cols(updbt, 2),
-        cols(updbt, 3), cols(updbt, 4), cols(updbt, 5))
+        ub_lvl, nlevels, *ub)
 
     maps = (np.stack(map_list) if map_list
             else np.empty((1, nb), dtype=np.int32))
@@ -289,7 +304,7 @@ def build_factor_plan(symb, plan: BlockPlan, coarse=None) -> FactorPlan:
                                np.int64),
         maps=maps,
         blk_n=plan.blk_n.astype(np.int32),
-        num_tasks=len(potrf) + len(trsm) + len(syrk) + len(updbt),
+        num_tasks=len(potrf) + len(trsm) + len(syrk) + len(ub_lvl),
         dense=dense,
     )
 

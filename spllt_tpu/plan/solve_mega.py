@@ -130,16 +130,21 @@ def _node_segments(plan: BlockPlan, sparent, nd):
 
 
 def _assemble_runs(addg, mm, sol, mm_kind, sol_kind, nb, scratch_pool):
-    """Bucket tasks by (level, phase), dest-sort ADD buckets, emit runs."""
+    """Bucket tasks by (level, phase), dest-sort ADD buckets, emit runs.
+
+    Each task carries the node that emitted it (``own``) so the
+    distributed executor can split the stream by subtree owner
+    (parallel/forest_mega.make_sharded_solve_mega)."""
     zrel = np.zeros(nb, dtype=np.int32)
-    tasks = []   # (key, kind, wA, wS, dst, aux, rel)
-    for (L, wS, dst, rel) in addg:
+    tasks = []   # (key, kind, wA, wS, dst, aux, rel, own)
+    for (L, wS, dst, rel, nd) in addg:
         tasks.append((L * 4 + _PH_ADDG, KIND_ADDG, scratch_pool, wS, dst,
-                      0, rel))
-    for (L, wA, wS, dst) in mm:
-        tasks.append((L * 4 + _PH_MM, mm_kind, wA, wS, dst, 0, zrel))
-    for (L, wA, wS, dst, k) in sol:
-        tasks.append((L * 4 + _PH_SOL, sol_kind, wA, wS, dst, k, zrel))
+                      0, rel, nd))
+    for (L, wA, wS, dst, nd) in mm:
+        tasks.append((L * 4 + _PH_MM, mm_kind, wA, wS, dst, 0, zrel, nd))
+    for (L, wA, wS, dst, k, nd) in sol:
+        tasks.append((L * 4 + _PH_SOL, sol_kind, wA, wS, dst, k, zrel,
+                      nd))
     # stable sort by (key, -k, dst): dest grouping for the RMW pipeline;
     # SOL runs additionally sort by descending column count so groups
     # share a small kvmax and the substitution body's panel skipping
@@ -160,6 +165,7 @@ def _assemble_runs(addg, mm, sol, mm_kind, sol_kind, nb, scratch_pool):
             "dst": np.asarray([t[4] for t in grp], np.int64),
             "aux": np.asarray([t[5] for t in grp], np.int64),
             "rel": np.stack([t[6] for t in grp]).astype(np.int32),
+            "own": np.asarray([t[7] for t in grp], np.int64),
         })
         i = j
     return runs
@@ -208,7 +214,7 @@ def build_solve_mega_plan(symb, plan: BlockPlan) -> SolveMegaPlan:
             k = min(nb, w - jb * nb)
             rel = np.where(iden < k, iden, -1).astype(np.int32)
             F_addg.append((1, P + int(xseg[nd]) + jb * nb,
-                           (b0 + jb) * nb, rel))
+                           (b0 + jb) * nb, rel, nd))
             add_lvl[b0 + jb] = max(add_lvl[b0 + jb], 1)
         for jb in range(C):
             tile = b0 + jb
@@ -216,11 +222,12 @@ def build_solve_mega_plan(symb, plan: BlockPlan) -> SolveMegaPlan:
             L = max(int(add_lvl[tile]), 1)
             d = int(blk_id(plan, nd, jb, jb))
             F_sol.append((L, d * nb, tile * nb,
-                          P + int(xseg[nd]) + jb * nb, k))
+                          P + int(xseg[nd]) + jb * nb, k, nd))
             sol_lvl[tile] = L
             for ib in range(jb + 1, T):
                 blk = int(blk_id(plan, nd, ib, jb))
-                F_mm.append((L + 1, blk * nb, tile * nb, (b0 + ib) * nb))
+                F_mm.append((L + 1, blk * nb, tile * nb,
+                             (b0 + ib) * nb, nd))
                 add_lvl[b0 + ib] = max(add_lvl[b0 + ib], L + 1)
         for (st, at, _a_is_col, pp, qq) in segs_per_node[nd]:
             is_col = (st - b0) < C
@@ -228,7 +235,7 @@ def build_solve_mega_plan(symb, plan: BlockPlan) -> SolveMegaPlan:
             L = int(fin) + 1
             rel = np.full(nb, -1, dtype=np.int32)
             rel[qq] = pp                 # gather form: dst slot q <- src p
-            F_addg.append((L, st * nb, at * nb, rel))
+            F_addg.append((L, st * nb, at * nb, rel, nd))
             add_lvl[at] = max(add_lvl[at], L)
     fwd_runs = _assemble_runs(F_addg, F_mm, F_sol, KIND_MM, KIND_SOL,
                               nb, scratch_pool)
@@ -246,14 +253,14 @@ def build_solve_mega_plan(symb, plan: BlockPlan) -> SolveMegaPlan:
             k = min(nb, w - jb * nb)
             rel = np.where(iden < k, iden, -1).astype(np.int32)
             B_addg.append((1, P + int(xseg[nd]) + jb * nb,
-                           (b0 + jb) * nb, rel))
+                           (b0 + jb) * nb, rel, nd))
             badd[b0 + jb] = max(badd[b0 + jb], 1)
         for (st, at, a_is_col, pp, qq) in segs_per_node[nd]:
             fin = bsol[at] if a_is_col else badd[at]
             L = int(fin) + 1
             rel = np.full(nb, -1, dtype=np.int32)
             rel[pp] = qq                 # gather: dst slot p <- ancestor q
-            B_addg.append((L, at * nb, st * nb, rel))
+            B_addg.append((L, at * nb, st * nb, rel, nd))
             badd[st] = max(badd[st], L)
         for jb in range(C - 1, -1, -1):
             tile = b0 + jb
@@ -264,12 +271,12 @@ def build_solve_mega_plan(symb, plan: BlockPlan) -> SolveMegaPlan:
                     L = int(bsol[b0 + ib]) + 1
                 else:
                     L = max(int(badd[b0 + ib]), 1)
-                B_mm.append((L, blk * nb, (b0 + ib) * nb, tile * nb))
+                B_mm.append((L, blk * nb, (b0 + ib) * nb, tile * nb, nd))
                 badd[tile] = max(badd[tile], L)
             d = int(blk_id(plan, nd, jb, jb))
             L = max(int(badd[tile]), 1)
             B_sol.append((L, d * nb, tile * nb,
-                          P + int(xseg[nd]) + jb * nb, k))
+                          P + int(xseg[nd]) + jb * nb, k, nd))
             bsol[tile] = L
     bwd_runs = _assemble_runs(B_addg, B_mm, B_sol, KIND_MMT, KIND_SOLT,
                               nb, scratch_pool)
