@@ -85,6 +85,60 @@ def run_mode(x64: bool) -> None:
     assert bwd_ref < 1e-12, f"refined solve bwd_err {bwd_ref}"
     print(f"[x64={int(x64)}] refined device solve: bwd_err {bwd_ref:.2e}")
 
+    # (d) coarse dense subtrees on device (the one-hot MXU movement path
+    #     is device-only — interpret mode cannot see its Mosaic issues)
+    opts_c = Options(ordering="nd-grid", grid_shape=(m, m, m), nb=128,
+                     nemin=64, mode="batched", dtype="float32",
+                     schedule="mega", refine=2, coarse_subtrees=True)
+    symb_c = analyse(a, opts_c)
+    num_c = factor(symb_c)
+    x_c = solve(num_c, b)
+    bwd_c = float(np.linalg.norm(a.matvec(x_c) - b) / np.linalg.norm(b))
+    assert bwd_c < 1e-12, f"coarse-subtree solve bwd_err {bwd_c}"
+    print(f"[x64={int(x64)}] coarse subtrees: bwd_err {bwd_c:.2e}")
+
+    # (e) 1-device shard_map megakernel factor+solve on the real chip
+    #     (the distributed code path with production bodies; x64=0 only
+    #     — the sharded pools path keeps f32 tables)
+    if not x64:
+        opts_d = Options(ordering="nd-grid", grid_shape=(m, m, m),
+                         nb=128, nemin=64, mode="batched",
+                         dtype="float32", schedule="mega", refine=2,
+                         ndevices=1, prune_tree=True)
+        # ndevices=1 takes the single-device path; drive the forest
+        # executors directly on a 1-TPU mesh instead
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from spllt_tpu.api import _plans
+        from spllt_tpu.parallel.forest import build_multidevice_factor
+        from spllt_tpu.parallel.forest_mega import (
+            make_sharded_factorize_mega, make_sharded_solve_mega)
+
+        symb_d = analyse(a, opts_d)
+        plan_d, fplan_d, splan_d = _plans(symb_d, opts_d)
+        md = build_multidevice_factor(symb_d, plan_d, fplan_d, 1,
+                                      splan=splan_d)
+        mesh = Mesh(np.array(jax.devices()[:1]), ("tree",))
+        fstep = make_sharded_factorize_mega(md, mesh, np.float32)
+        sstep = make_sharded_solve_mega(md, symb_d, plan_d, mesh, 2)
+        pools_np, top_np = md.local_pools(symb_d.a_perm.values,
+                                          dtype=np.float32)
+        pools = jax.device_put(jnp.asarray(pools_np),
+                               NamedSharding(mesh, P("tree")))
+        top = jax.device_put(jnp.asarray(top_np),
+                             NamedSharding(mesh, P()))
+        fpool = jax.jit(fstep)(pools, top)
+        x0 = np.zeros((symb_d.n + 1, 2), np.float32)
+        x0[:symb_d.n] = b[symb_d.perm]
+        xs = np.asarray(jax.jit(sstep)(fpool, jnp.asarray(x0)))
+        x_d = np.empty((symb_d.n, 2))
+        x_d[symb_d.perm] = xs[:symb_d.n]
+        bwd_d = float(np.linalg.norm(a.matvec(x_d) - b)
+                      / np.linalg.norm(b))
+        assert bwd_d < 1e-4, f"shard_map mega bwd_err {bwd_d}"
+        print(f"[x64={int(x64)}] shard_map mega factor+solve on chip: "
+              f"bwd_err {bwd_d:.2e}")
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
