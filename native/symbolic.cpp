@@ -13,6 +13,9 @@
 #include <vector>
 #include <algorithm>
 #include <cstring>
+#include <cstdlib>
+#include <string>
+#include <unordered_map>
 
 extern "C" {
 
@@ -346,6 +349,205 @@ int spllt_supernodes(int64_t n, const int64_t *colptr,
         off += (int64_t)f_rows[s].size();
         rptr_out[k + 1] = off;
     }
+    return 0;
+}
+
+// ---------------------------------------------------------------------
+// Factor-plan task enumeration fast path.  Mirrors the Python loops of
+// spllt_tpu.plan.factor_tasks.build_factor_plan (non-coarse path) —
+// intra-node right-looking task emission with phase-aware ASAP levels
+// plus the ancestor walk emitting width-fused update_between tasks with
+// deduplicated position maps.  The reference delegates its analyse to
+// native SPRAL/METIS (/root/reference/src/spllt_analyse_mod.F90:26-28);
+// this is our equivalent native hot path, exact-match with the NumPy
+// fallback (tests/test_symbolic.py::test_factor_plan_native_parity).
+//
+// Outputs are C++-owned buffers returned through spllt_plan_out; the
+// caller copies them into NumPy arrays and calls spllt_plan_free.
+// Task arrays are UNSORTED (emission order); Python does the level
+// bucketing (vectorized argsort) either way.
+
+struct spllt_plan_out {
+    int64_t *potrf;   int64_t n_potrf;   // [n,3] lvl, blk, k
+    int64_t *trsm;    int64_t n_trsm;    // [n,4] lvl, diag, dst, k
+    int64_t *syrk;    int64_t n_syrk;    // [n,4] lvl, si, sj, dst
+    int64_t *updbt;   int64_t n_updbt;   // [n,6] lvl,dst,mr,mc,svp,c
+    int64_t *srcvec;  int64_t *srcvec_node; int64_t n_srcvec;
+    int32_t *maps;    int64_t n_maps;    // [n_maps, nb]
+};
+
+extern "C" void spllt_plan_free(spllt_plan_out *o) {
+    if (!o) return;
+    free(o->potrf); free(o->trsm); free(o->syrk); free(o->updbt);
+    free(o->srcvec); free(o->srcvec_node); free(o->maps);
+    delete o;
+}
+
+extern "C" int spllt_factor_plan(
+    int64_t nnodes, int64_t nb, int64_t nblocks,
+    const int64_t *sparent,
+    const int64_t *node_ntiles, const int64_t *node_nctiles,
+    const int64_t *node_blk_ptr,
+    const int64_t *node_sa, const int64_t *node_en,
+    const int64_t *node_rptr, const int64_t *rows_all,
+    const int64_t *blk_n,
+    spllt_plan_out **out_p) {
+    std::vector<int64_t> fact_level(nblocks, 0), upd_level(nblocks, 0);
+    std::vector<int64_t> potrf, trsm, syrk, updbt;
+    std::vector<int64_t> srcvec, srcvec_node;
+    std::vector<int32_t> maps;
+    std::unordered_map<std::string, int64_t> registry;
+    // scratch reused across ancestors
+    std::vector<int64_t> pos_a, fmax_t, map_id, touched;
+    std::vector<int32_t> vec(nb);
+
+    for (int64_t nd = 0; nd < nnodes; ++nd) {
+        const int64_t T = node_ntiles[nd], C = node_nctiles[nd];
+        const int64_t b0 = node_blk_ptr[nd];
+        auto bid = [&](int64_t ib, int64_t jb) {
+            return b0 + jb * T - (jb * (jb - 1)) / 2 + (ib - jb);
+        };
+        // ---- intra-node right-looking factorization ----
+        for (int64_t kb = 0; kb < C; ++kb) {
+            const int64_t d = bid(kb, kb);
+            const int64_t kcols = blk_n[d];
+            int64_t lvl = upd_level[d] > 1 ? upd_level[d] : 1;
+            fact_level[d] = lvl;
+            potrf.insert(potrf.end(), {lvl, d, kcols});
+            for (int64_t ib = kb + 1; ib < T; ++ib) {
+                const int64_t t = bid(ib, kb);
+                int64_t l2 = fact_level[d];
+                if (upd_level[t] > l2) l2 = upd_level[t];
+                if (l2 < 1) l2 = 1;
+                fact_level[t] = l2;
+                trsm.insert(trsm.end(), {l2, d, t, kcols});
+            }
+            for (int64_t jb2 = kb + 1; jb2 < C; ++jb2) {
+                const int64_t sj = bid(jb2, kb);
+                const int64_t fsj = fact_level[sj];
+                for (int64_t ib2 = jb2; ib2 < T; ++ib2) {
+                    const int64_t si = bid(ib2, kb);
+                    const int64_t dst = bid(ib2, jb2);
+                    int64_t l3 = fact_level[si] > fsj ? fact_level[si]
+                                                      : fsj;
+                    l3 += 1;
+                    syrk.insert(syrk.end(), {l3, si, sj, dst});
+                    if (l3 > upd_level[dst]) upd_level[dst] = l3;
+                }
+            }
+        }
+        // ---- inter-node updates into ancestors ----
+        const int64_t svp0 = (int64_t)srcvec.size();
+        for (int64_t kb = 0; kb < C; ++kb) {
+            srcvec.push_back(b0 + kb * T - (kb * (kb - 1)) / 2 - kb);
+            srcvec_node.push_back(nd);
+        }
+        const int64_t *nrows = rows_all + node_rptr[nd];
+        const int64_t nr = node_rptr[nd + 1] - node_rptr[nd];
+        int64_t anc = sparent[nd];
+        while (anc != -1) {
+            // lo = first row >= node_sa[anc]
+            const int64_t *lo_p = std::lower_bound(nrows, nrows + nr,
+                                                   node_sa[anc]);
+            const int64_t lo = lo_p - nrows;
+            if (lo >= nr) break;
+            const int64_t *hi_p = std::lower_bound(nrows, nrows + nr,
+                                                   node_en[anc] + 1);
+            const int64_t hi = hi_p - nrows;
+            if (hi > lo) {
+                const int64_t ns = nr - lo;   // rows from lo to end
+                const int64_t *a_rows = rows_all + node_rptr[anc];
+                const int64_t na = node_rptr[anc + 1]
+                    - node_rptr[anc];
+                pos_a.resize(ns);
+                {   // merge scan: both sorted, a_rows superset
+                    int64_t j = 0;
+                    for (int64_t i = 0; i < ns; ++i) {
+                        const int64_t s = nrows[lo + i];
+                        while (j < na && a_rows[j] < s) ++j;
+                        if (j >= na || a_rows[j] != s) return -2;
+                        pos_a[i] = j;
+                    }
+                }
+                // touched tiles (run boundaries of pos_a / nb),
+                // per-tile deepest source level, per-tile map id
+                touched.clear(); fmax_t.clear(); map_id.clear();
+                int64_t ncols_part_tiles = 0;
+                const int64_t ncols_part = hi - lo;
+                int64_t i0 = 0;
+                while (i0 < ns) {
+                    const int64_t tb = pos_a[i0] / nb;
+                    int64_t i1 = i0;
+                    int64_t fmax = 0;
+                    std::fill(vec.begin(), vec.end(), (int32_t)-1);
+                    while (i1 < ns && pos_a[i1] / nb == tb) {
+                        const int64_t p_src = lo + i1;
+                        const int64_t st = p_src / nb;
+                        const int64_t cj = st < C - 1 ? st : C - 1;
+                        const int64_t fl = fact_level[bid(st, cj)];
+                        if (fl > fmax) fmax = fl;
+                        vec[pos_a[i1] % nb] = (int32_t)p_src;
+                        ++i1;
+                    }
+                    if (i0 < ncols_part) ++ncols_part_tiles;
+                    std::string key((const char *)vec.data(),
+                                    nb * sizeof(int32_t));
+                    auto it = registry.find(key);
+                    int64_t mid;
+                    if (it == registry.end()) {
+                        mid = (int64_t)(maps.size() / nb);
+                        registry.emplace(std::move(key), mid);
+                        maps.insert(maps.end(), vec.begin(), vec.end());
+                    } else {
+                        mid = it->second;
+                    }
+                    touched.push_back(tb);
+                    fmax_t.push_back(fmax);
+                    map_id.push_back(mid);
+                    i0 = i1;
+                }
+                const int64_t ntt = (int64_t)touched.size();
+                const int64_t aT = node_ntiles[anc];
+                const int64_t a0 = node_blk_ptr[anc];
+                for (int64_t jj = 0; jj < ncols_part_tiles; ++jj) {
+                    const int64_t jbt = touched[jj];
+                    for (int64_t ii = jj; ii < ntt; ++ii) {
+                        const int64_t ibt = touched[ii];
+                        int64_t lvl = fmax_t[ii] > fmax_t[jj]
+                            ? fmax_t[ii] : fmax_t[jj];
+                        lvl += 1;
+                        const int64_t dst = a0 + jbt * aT
+                            - (jbt * (jbt - 1)) / 2 + (ibt - jbt);
+                        updbt.insert(updbt.end(),
+                                     {lvl, dst, map_id[ii], map_id[jj],
+                                      svp0, C});
+                        if (lvl > upd_level[dst]) upd_level[dst] = lvl;
+                    }
+                }
+            }
+            anc = sparent[anc];
+        }
+    }
+
+    auto copy64 = [](const std::vector<int64_t> &v) {
+        int64_t *p = (int64_t *)malloc(
+            (v.size() ? v.size() : 1) * sizeof(int64_t));
+        std::memcpy(p, v.data(), v.size() * sizeof(int64_t));
+        return p;
+    };
+    spllt_plan_out *o = new spllt_plan_out();
+    o->potrf = copy64(potrf);   o->n_potrf = (int64_t)potrf.size() / 3;
+    o->trsm = copy64(trsm);     o->n_trsm = (int64_t)trsm.size() / 4;
+    o->syrk = copy64(syrk);     o->n_syrk = (int64_t)syrk.size() / 4;
+    o->updbt = copy64(updbt);   o->n_updbt = (int64_t)updbt.size() / 6;
+    o->srcvec = copy64(srcvec);
+    o->srcvec_node = copy64(srcvec_node);
+    o->n_srcvec = (int64_t)srcvec.size();
+    o->maps = (int32_t *)malloc(
+        (maps.size() ? maps.size() : 1) * sizeof(int32_t));
+    std::memcpy(o->maps, maps.data(), maps.size() * sizeof(int32_t));
+    o->n_maps = (int64_t)maps.size() / nb;
+    *out_p = o;
     return 0;
 }
 

@@ -135,3 +135,79 @@ def native_supernodes_or_none(n, colptr, rowind, parent, nemin):
     if rc != 0:
         return None
     return sa, en, sparent, rptr, rows
+
+
+class _PlanOut(ctypes.Structure):
+    _fields_ = [
+        ("potrf", ctypes.POINTER(ctypes.c_int64)),
+        ("n_potrf", ctypes.c_int64),
+        ("trsm", ctypes.POINTER(ctypes.c_int64)),
+        ("n_trsm", ctypes.c_int64),
+        ("syrk", ctypes.POINTER(ctypes.c_int64)),
+        ("n_syrk", ctypes.c_int64),
+        ("updbt", ctypes.POINTER(ctypes.c_int64)),
+        ("n_updbt", ctypes.c_int64),
+        ("srcvec", ctypes.POINTER(ctypes.c_int64)),
+        ("srcvec_node", ctypes.POINTER(ctypes.c_int64)),
+        ("n_srcvec", ctypes.c_int64),
+        ("maps", ctypes.POINTER(ctypes.c_int32)),
+        ("n_maps", ctypes.c_int64),
+    ]
+
+
+def native_factor_plan_or_none(sparent, plan):
+    """Factor-plan task enumeration via the native library, or None.
+
+    Returns a dict of UNSORTED task arrays in emission order, exactly
+    matching the Python loops of plan.factor_tasks.build_factor_plan
+    (non-coarse path): potrf [n,3] (lvl, blk, k), trsm [n,4]
+    (lvl, diag, dst, k), syrk [n,4] (lvl, si, sj, dst), updbt [n,6]
+    (lvl, dst, mr, mc, svp, c), srcvec, srcvec_node, maps [nmaps, nb].
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "spllt_factor_plan"):
+        return None
+    i64 = lambda a: np.ascontiguousarray(a, dtype=np.int64)
+    p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    sparent = i64(sparent)
+    ntiles = i64(plan.node_ntiles)
+    nctiles = i64(plan.node_nctiles)
+    blk_ptr = i64(plan.node_blk_ptr)
+    sa = i64(plan.node_sa)
+    en = i64(plan.node_en)
+    rptr = i64(plan.node_rptr)
+    rows = i64(plan.rows)
+    blk_n = i64(plan.blk_n)
+    out = ctypes.POINTER(_PlanOut)()
+    lib.spllt_factor_plan.restype = ctypes.c_int
+    rc = lib.spllt_factor_plan(
+        ctypes.c_int64(plan.nnodes), ctypes.c_int64(plan.nb),
+        ctypes.c_int64(plan.nblocks), p(sparent),
+        p(ntiles), p(nctiles), p(blk_ptr), p(sa), p(en),
+        p(rptr), p(rows), p(blk_n), ctypes.byref(out))
+    if rc != 0 or not out:
+        return None
+    o = out.contents
+
+    def arr64(ptr, shape):
+        k = int(np.prod(shape)) if shape else 0
+        if k == 0:
+            return np.empty(shape, dtype=np.int64)
+        return np.ctypeslib.as_array(ptr, shape=(k,)).astype(
+            np.int64, copy=True).reshape(shape)
+
+    res = {
+        "potrf": arr64(o.potrf, (int(o.n_potrf), 3)),
+        "trsm": arr64(o.trsm, (int(o.n_trsm), 4)),
+        "syrk": arr64(o.syrk, (int(o.n_syrk), 4)),
+        "updbt": arr64(o.updbt, (int(o.n_updbt), 6)),
+        "srcvec": arr64(o.srcvec, (int(o.n_srcvec),)),
+        "srcvec_node": arr64(o.srcvec_node, (int(o.n_srcvec),)),
+        "maps": (np.ctypeslib.as_array(
+            o.maps, shape=(int(o.n_maps) * plan.nb,)).astype(
+                np.int32, copy=True).reshape(int(o.n_maps), plan.nb)
+            if o.n_maps else np.empty((0, plan.nb), np.int32)),
+    }
+    lib.spllt_plan_free.restype = None
+    lib.spllt_plan_free(out)
+    return res

@@ -106,6 +106,20 @@ def _bucket(levels, nlevels, *fields):
 
 def build_factor_plan(symb, plan: BlockPlan, coarse=None) -> FactorPlan:
     nb = plan.nb
+    # native fast path (non-coarse): the per-node Python loops below
+    # dominate plan build at scale (128³ Poisson: minutes); the C++
+    # twin in native/symbolic.cpp emits identical task arrays
+    if coarse is None:
+        from ..analyse.native import native_factor_plan_or_none
+        res = native_factor_plan_or_none(symb.forest.sparent, plan)
+        if res is not None:
+            maps = (res["maps"] if len(res["maps"])
+                    else np.empty((1, nb), np.int32))
+            return _finish_plan(
+                plan, res["potrf"], res["trsm"], res["syrk"],
+                res["updbt"][:, 0], [res["updbt"][:, j]
+                                     for j in range(1, 6)],
+                res["srcvec"], res["srcvec_node"], maps, None)
     nnodes = plan.nnodes
     fact_level = np.zeros(plan.nblocks, dtype=np.int64)
     upd_level = np.zeros(plan.nblocks, dtype=np.int64)
@@ -252,38 +266,44 @@ def build_factor_plan(symb, plan: BlockPlan, coarse=None) -> FactorPlan:
               else np.empty(0, np.int64))
     ub = [np.concatenate(x) if x else np.empty(0, np.int64)
           for x in (updbt_dst, updbt_mr, updbt_mc, updbt_svp, updbt_cc)]
-
-    nlevels = 0
-    for tl in (potrf, trsm, syrk):
-        if tl:
-            nlevels = max(nlevels, max(t[0] for t in tl))
-    if len(ub_lvl):
-        nlevels = max(nlevels, int(ub_lvl.max()))
-
-    # order potrf/trsm within each level by column count (descending) so
-    # the pallas kernels' per-group kvmax panel skipping sees groups of
-    # similar width — leaf tiles (kv << nb) then run 1 panel, not nb/pb
-    potrf.sort(key=lambda t: (t[0], -t[2]))
-    trsm.sort(key=lambda t: (t[0], -t[3]))
-
-    def cols(tl, k):
-        return [t[k] for t in tl]
-
-    p_ptr, (p_blk, p_k) = _bucket(cols(potrf, 0), nlevels,
-                                  cols(potrf, 1), cols(potrf, 2))
-    t_ptr, (t_diag, t_dst, t_k) = _bucket(cols(trsm, 0), nlevels,
-                                          cols(trsm, 1), cols(trsm, 2),
-                                          cols(trsm, 3))
-    s_ptr, (s_i, s_j, s_dst) = _bucket(cols(syrk, 0), nlevels,
-                                       cols(syrk, 1), cols(syrk, 2),
-                                       cols(syrk, 3))
-    u_ptr, (u_dst, u_mr, u_mc, u_svp, u_c) = _bucket(
-        ub_lvl, nlevels, *ub)
-
+    pt = np.asarray(potrf, np.int64).reshape(-1, 3)
+    tr = np.asarray(trsm, np.int64).reshape(-1, 4)
+    sy = np.asarray(syrk, np.int64).reshape(-1, 4)
     maps = (np.stack(map_list) if map_list
             else np.empty((1, nb), dtype=np.int32))
     dense = (_build_dense_phase(symb, plan, coarse)
              if coarse is not None and coarse.nsub > 0 else None)
+    return _finish_plan(plan, pt, tr, sy, ub_lvl, ub,
+                        np.asarray(srcvec if srcvec else [0], np.int64),
+                        np.asarray(srcvec_node if srcvec_node else [0],
+                                   np.int64),
+                        maps, dense)
+
+
+def _finish_plan(plan, pt, tr, sy, ub_lvl, ub, srcvec, srcvec_node,
+                 maps, dense) -> FactorPlan:
+    """Shared tail: level count, kv sorting, level bucketing."""
+    nb = plan.nb
+    nlevels = 0
+    for lv in (pt[:, 0], tr[:, 0], sy[:, 0], ub_lvl):
+        if len(lv):
+            nlevels = max(nlevels, int(lv.max()))
+
+    # order potrf/trsm within each level by column count (descending) so
+    # the pallas kernels' per-group kvmax panel skipping sees groups of
+    # similar width — leaf tiles (kv << nb) then run 1 panel, not nb/pb
+    if len(pt):
+        pt = pt[np.lexsort((-pt[:, 2], pt[:, 0]))]
+    if len(tr):
+        tr = tr[np.lexsort((-tr[:, 3], tr[:, 0]))]
+
+    p_ptr, (p_blk, p_k) = _bucket(pt[:, 0], nlevels, pt[:, 1], pt[:, 2])
+    t_ptr, (t_diag, t_dst, t_k) = _bucket(tr[:, 0], nlevels, tr[:, 1],
+                                          tr[:, 2], tr[:, 3])
+    s_ptr, (s_i, s_j, s_dst) = _bucket(sy[:, 0], nlevels, sy[:, 1],
+                                       sy[:, 2], sy[:, 3])
+    u_ptr, (u_dst, u_mr, u_mc, u_svp, u_c) = _bucket(
+        ub_lvl, nlevels, *ub)
     return FactorPlan(
         nb=nb, nblocks=plan.nblocks, nlevels=nlevels,
         potrf_ptr=p_ptr, potrf_blk=np.asarray(p_blk, np.int64),
@@ -299,12 +319,13 @@ def build_factor_plan(symb, plan: BlockPlan, coarse=None) -> FactorPlan:
         updbt_mc=np.asarray(u_mc, np.int64),
         updbt_svp=np.asarray(u_svp, np.int64),
         updbt_c=np.asarray(u_c, np.int64),
-        srcvec=np.asarray(srcvec if srcvec else [0], np.int64),
-        srcvec_node=np.asarray(srcvec_node if srcvec_node else [0],
-                               np.int64),
+        srcvec=(srcvec if len(srcvec)
+                else np.zeros(1, np.int64)),
+        srcvec_node=(srcvec_node if len(srcvec_node)
+                     else np.zeros(1, np.int64)),
         maps=maps,
         blk_n=plan.blk_n.astype(np.int32),
-        num_tasks=len(potrf) + len(trsm) + len(syrk) + len(ub_lvl),
+        num_tasks=len(pt) + len(tr) + len(sy) + len(ub_lvl),
         dense=dense,
     )
 

@@ -120,3 +120,39 @@ def test_analyse_poisson3d_counts():
     assert symb.inform.num_nodes >= 1
     assert symb.inform.num_factor >= mat.nnz
     assert symb.inform.maxdepth >= 1
+
+
+def test_factor_plan_native_parity():
+    """The C++ plan enumeration (native/symbolic.cpp spllt_factor_plan)
+    must emit byte-identical task arrays to the Python loops."""
+    import dataclasses
+    import importlib
+
+    from spllt_tpu.plan import factor_tasks as ft
+    from spllt_tpu.plan.blocking import build_block_plan
+
+    nat = importlib.import_module("spllt_tpu.analyse.native")
+    if not nat.native_available():
+        pytest.skip("native library not built")
+    for mat, o in [
+        (poisson2d(24), Options(nb=16, nemin=8)),
+        (poisson3d(10), Options(nb=32, nemin=24)),
+        (poisson2d(13), Options(nb=8, nemin=1)),
+    ]:
+        symb = analyse(mat, o)
+        bp = build_block_plan(symb, o.nb)
+        assert nat.native_factor_plan_or_none(
+            symb.forest.sparent, bp) is not None
+        fp_nat = ft.build_factor_plan(symb, bp)
+        orig = nat.native_factor_plan_or_none
+        nat.native_factor_plan_or_none = lambda *a, **k: None
+        try:
+            fp_py = ft.build_factor_plan(symb, bp)
+        finally:
+            nat.native_factor_plan_or_none = orig
+        for f in dataclasses.fields(fp_nat):
+            a, b = getattr(fp_nat, f.name), getattr(fp_py, f.name)
+            if isinstance(a, np.ndarray):
+                assert a.shape == b.shape and np.array_equal(a, b), f.name
+            else:
+                assert a == b, f.name
