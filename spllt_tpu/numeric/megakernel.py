@@ -28,14 +28,16 @@ nb-row windows, VMEM destination accumulation, deferred RMW writeback).
 
 Destination accumulation (round-5 redesign) is branch-free segment
 reduction: tasks are destination-sorted, so each step's ``group`` tasks
-form <= group contiguous same-destination segments.  The per-task tables
-carry a within-step segment index and a keep flag, and the kernel runs
-``pacc[seg_i] = pacc[seg_i]*keep_i + u3[i]`` — no conditional chain.
-Segment COMPLETIONS (host-computed: the segment's last task is its
-stream-global group end) RMW their destination tile; the destination
-reads are prefetched ONE STEP AHEAD (the completion schedule is static),
-so the HBM round-trip that used to stall short dest groups is hidden.
-A partial segment spanning the step boundary is carried in ``acc``.
+form <= group contiguous same-destination segments.  The per-task keep
+flag (task i continues task i-1's segment) drives a segmented inclusive
+running sum over the group axis — statically sliced register values
+with SMEM scalar multipliers, no dynamic VMEM indexing or scratch RMW.
+Slot i then holds the sum of its segment up to i; segment COMPLETIONS
+(host-computed: the slot is its destination's stream-global group end)
+RMW their destination tile from that slot.  The destination reads are
+prefetched ONE STEP AHEAD (the completion schedule is static), so the
+HBM round-trip that used to stall short dest groups is hidden.  A
+partial segment spanning the step boundary is carried in ``acc``.
 
 Reference analogue: this is the STF task stream of
 ``spllt_stf_factorize`` (/root/reference/src/spllt_stf_mod.F90:18-192)
@@ -63,15 +65,16 @@ __all__ = ["build_mega_stream", "mega_factorize", "MegaFactorExecutor"]
 KIND_UPD, KIND_POTRF, KIND_TRSM = 0, 1, 2
 KIND_NOOP = -1           # padded steps: no loads, no compute, no writes
 # UPD aux bit layout (per slot i of a step): bits 0-9 blkn of task i,
-# bit 10 keep (task i continues the within-step segment), bit 11 sact
-# (segment i of this step COMPLETES here -> dest RMW), bits 12-15 seg
-# (within-step segment index of task i).  POTRF/TRSM aux = kv (< 1024).
+# bit 10 keep (task i continues the within-step segment; the scan's
+# propagate flag), bit 11 sact (task i's segment COMPLETES at slot i ->
+# dest RMW from the scanned slot), bits 12-15 seg (within-step segment
+# index of task i; the carry subtraction tests seg == 0).
+# POTRF/TRSM aux = kv (< 1024).
 _BLKN_BITS = 10
 _KEEP_BIT, _SACT_BIT, _SEG_BITS = 10, 11, 12
 # segmeta bit layout (per step): bit 0 cin (task 0 continues the carry
-# accumulator), bit 1 c2 (the carry stays open through this step), bits
-# 2-5 oseg (within-step index of the segment left open at step end)
-_META_C2_BIT, _META_OSEG_BITS = 1, 2
+# accumulator), bit 1 c2 (the carry stays open through this step)
+_META_C2_BIT = 1
 
 
 def _i0():
@@ -84,15 +87,18 @@ def _i0():
 # ===================================================================== #
 
 def _upd_slot_tables(d, blkn, group, scratch):
-    """Per-slot segment tables for one emitted UPD run.
+    """Per-slot segment tables for one emitted UPD piece.
 
     ``d`` is the destination row per task (dest-sorted, length a
     multiple of ``group``).  Returns (aux, dst_slots, segmeta): aux
     packs blkn|keep|sact|seg per slot (see the bit-layout constants),
-    dst_slots[t*G+s] is the dest row of the segment completing in slot
-    s of step t (scratch if none — padded scratch-dest segments are
+    dst_slots[t*G+i] is the dest row that slot i RMWs when its segment
+    completes there (scratch if none — padded scratch-dest slots are
     marked inactive so padding costs no DMA at all), and segmeta packs
-    the per-step carry flags cin|c2|oseg.
+    the per-step carry flags cin|c2.  A piece cut closes the segment at
+    the cut: the partial sum RMWs its destination and the next piece
+    re-reads it (partial updates into one destination commute, and
+    piece starts are drain steps, so the write completes first).
     """
     k = len(d)
     nst = k // group
@@ -109,21 +115,14 @@ def _upd_slot_tables(d, blkn, group, scratch):
     inc[:, 0] = False               # slot 0 is always within-step seg 0
     seg = np.cumsum(inc, axis=1)
     keep = ~F
-    keep[:, 0] = False              # pacc restarts per step; carry in acc
-    sact = np.zeros((nst, group), bool)
-    sdst = np.full((nst, group), scratch, np.int64)
-    tt, ii = np.nonzero(L)
-    ss = seg[tt, ii]
-    sact[tt, ss] = True
-    sdst[tt, ss] = D[tt, ii]
-    sact &= sdst != scratch         # padded tail: skip the scratch RMW
+    keep[:, 0] = False              # scan restarts per step; carry in acc
+    sact = L & (D != scratch)       # padded tail: skip the scratch RMW
+    sdst = np.where(L, D, scratch)
     cin = F[:, 0] == 0
     open_ = L[:, -1] == 0
-    oseg = seg[:, -1].astype(np.int64)
-    c2 = cin & open_ & (oseg == 0)
+    c2 = cin & open_ & (seg[:, -1] == 0)
     meta = (cin.astype(np.int64)
-            | (c2.astype(np.int64) << _META_C2_BIT)
-            | (oseg << _META_OSEG_BITS))
+            | (c2.astype(np.int64) << _META_C2_BIT))
     aux = (blkn.reshape(nst, group)
            | (keep.astype(np.int64) << _KEEP_BIT)
            | (sact.astype(np.int64) << _SACT_BIT)
@@ -145,28 +144,15 @@ def build_mega_stream(fp, group: int, pool_rows: int,
     scratch = fp.nblocks * nb            # flat row base of the pad tile
     iden = np.arange(nb, dtype=np.int32)
 
-    runs = []   # (kind, wr, wc, dst, aux, relr, relc, segmeta) per run
+    # raw runs: (kind, wr, wc, dst, aux_or_blkn, relr, relc); slot
+    # tables are computed AFTER balanced chunk partitioning, per final
+    # piece, so pieces may cut runs at any group boundary (the cut
+    # closes open segments — see _upd_slot_tables)
+    runs = []
 
     def emit(kind, wr, wc, dst, aux, relr, relc, blkn=None):
-        """Split a run into <= kmax segments at group boundaries.  UPD
-        slot tables (keep/seg/sact/segmeta) are computed per emitted
-        segment: a dest group cut at a segment boundary RMWs its partial
-        sum at the cut (partial updates into one destination commute),
-        and segment starts are drain steps, so the previous partial
-        write completes first."""
-        k = len(wr)
-        seg = max(group, kmax - kmax % group)
-        for s0_ in range(0, k, seg):
-            s1_ = min(k, s0_ + seg)
-            sl = slice(s0_, s1_)
-            if kind == KIND_UPD:
-                aux_seg, dst_seg, meta = _upd_slot_tables(
-                    dst[sl], blkn[sl], group, scratch)
-            else:
-                aux_seg, dst_seg = aux[sl], dst[sl]
-                meta = np.zeros((s1_ - s0_) // group, np.int64)
-            runs.append((kind, wr[sl], wc[sl], dst_seg, aux_seg,
-                         relr[sl], relc[sl], meta))
+        runs.append((kind, wr, wc, dst,
+                     blkn if kind == KIND_UPD else aux, relr, relc))
 
     for lvl in range(1, fp.nlevels + 1):
         # ---- UPD: between-update micro-tasks + intra-node syrk ------- #
@@ -237,18 +223,19 @@ def build_mega_stream(fp, group: int, pool_rows: int,
             z2 = np.zeros((kp, nb), np.int32)
             emit(KIND_TRSM, diag, dstt, dstt, kv, z2, z2)
 
-    # ---- chunk at run boundaries under the SMEM task budget ---------- #
-    # chunks share ONE compiled program (uniform shapes), so a greedy
-    # fill (full, full, ..., small tail) pads the tail chunk with dead
-    # steps up to the longest chunk.  Balance instead: aim every chunk
-    # at total/nchunks tasks so uniform padding nearly vanishes.
+    # ---- balanced chunk partition under the SMEM task budget --------- #
+    # chunks share ONE compiled program (uniform shapes), so unequal
+    # chunks pad with dead steps up to the longest.  Cut the stream at
+    # exact group boundaries every ceil(total/nchunks) steps — runs that
+    # straddle a cut are split there (the cut closes open UPD segments,
+    # which commutes; piece starts are drain steps) — so uniform padding
+    # is < nchunks steps total.
     total = sum(len(r[1]) for r in runs)
-    if total > kmax:
-        nchunks = -(-total // kmax)
-        kmax = min(kmax, -(-total // (nchunks * group)) * group
-                   + 2 * group)
+    nchunks = max(1, -(-total // kmax))
+    tgt = -(-(total // group) // nchunks)      # steps per chunk
     chunks = []
     cur = None
+    room = 0
 
     def flush():
         nonlocal cur
@@ -267,25 +254,42 @@ def build_mega_stream(fp, group: int, pool_rows: int,
         })
         cur = None
 
-    ntask = 0
-    for kind, wr, wc, dst, aux, relr, relc, meta in runs:
-        k = len(wr)
-        if cur is None or ntask + k > kmax:
-            flush()
+    def put(kind, wr, wc, dst, bk, relr, relc):
+        nonlocal cur, room
+        if cur is None:
             cur = {"kind": [], "drain": [], "segmeta": [], "wr": [],
-                   "wc": [], "dst": [], "aux": [], "relr": [], "relc": []}
-            ntask = 0
-        nsteps = k // group
+                   "wc": [], "dst": [], "aux": [], "relr": [],
+                   "relc": []}
+            room = tgt
+        if kind == KIND_UPD:
+            aux, dstp, meta = _upd_slot_tables(dst, bk, group, scratch)
+        else:
+            aux, dstp = bk, dst
+            meta = np.zeros(len(wr) // group, np.int64)
+        nsteps = len(wr) // group
         cur["kind"].extend([kind] * nsteps)
         cur["drain"].extend([1] + [0] * (nsteps - 1))
         cur["segmeta"].append(meta)
         cur["wr"].append(wr)
         cur["wc"].append(wc)
-        cur["dst"].append(dst)
+        cur["dst"].append(dstp)
         cur["aux"].append(aux)
         cur["relr"].append(relr.astype(np.int32))
         cur["relc"].append(relc.astype(np.int32))
-        ntask += k
+        room -= nsteps
+        if room <= 0:
+            flush()
+
+    for kind, wr, wc, dst, bk, relr, relc in runs:
+        o = 0
+        k = len(wr)
+        while k - o > 0:
+            take = min(k - o, (room if cur is not None else tgt) * group)
+            sl = slice(o, o + take)
+            put(kind, wr[sl], wc[sl], dst[sl],
+                bk[sl] if bk is not None else None,
+                relr[sl], relc[sl])
+            o += take
     flush()
     return pad_chunks_uniform(chunks, group, nb, scratch)
 
@@ -328,7 +332,7 @@ def pad_chunks_uniform(chunks, group: int, nb: int, scratch: int):
 
 def _kernel(kind_ref, drain_ref, segmeta_ref, wr_ref, wc_ref, dst_ref,
             aux_ref, relr, relc, poolf_hbm, out_hbm,
-            acc, winr, winc, dtile, pacc, pscr, wrow,
+            acc, winr, winc, dtile, pscr, wrow,
             semr, semc, semd_r, semd_w, semw,
             *, nb, group, nsteps, pb, precision,
             ablate=frozenset()):
@@ -391,6 +395,8 @@ def _kernel(kind_ref, drain_ref, segmeta_ref, wr_ref, wc_ref, dst_ref,
 
     def start_dest_reads(p, step):
         # prefetch the dest tiles of ``step``'s completing segments
+        if "rmw" in ablate:
+            return      # ablation skips the completion loop that waits
         for s_ in range(group):
             @pl.when(sact_of(step * group + s_))
             def _(s_=s_):
@@ -405,10 +411,6 @@ def _kernel(kind_ref, drain_ref, segmeta_ref, wr_ref, wc_ref, dst_ref,
     @pl.when(t == 0)
     def _():
         acc[:, :] = jnp.zeros((nb, nb), f32)
-        # the branch-free FMA pacc*keep relies on keep=0 overwriting the
-        # slot — but uninitialized VMEM may hold NaN and NaN*0 = NaN, so
-        # the slots must start finite
-        pacc[...] = jnp.zeros((group, nb, nb), f32)
         for j_ in range(2 * group):
             wrow[j_] = jnp.int32(-1)
 
@@ -486,17 +488,19 @@ def _kernel(kind_ref, drain_ref, segmeta_ref, wr_ref, wc_ref, dst_ref,
             acc[:, :] = u3[0]
             return
 
-        # branch-free segment accumulation: pacc[seg_i]*keep_i + u3[i]
-        for i in range(group):
-            ai = aux_ref[t * group + i]
-            m = jnp.bitwise_and(
-                jax.lax.shift_right_logical(ai, sh_seg), mask4)
-            keepf = jnp.bitwise_and(
-                jax.lax.shift_right_logical(ai, sh_keep),
-                one_c).astype(f32)
-            pacc[m] = pacc[m] * keepf + u3[i]
+        # segmented inclusive running sum over the group axis: slot i
+        # ends up holding the sum of its segment's tasks up to i.  All
+        # slices are static and the per-slot keep flags are SMEM scalars
+        # (scalar*vector broadcasts lower cleanly) — no dynamic VMEM
+        # indexing, no VMEM scratch round trip.
+        x = [u3[0]]
+        for i in range(1, group):
+            kf = jnp.bitwise_and(
+                jax.lax.shift_right_logical(aux_ref[t * group + i],
+                                            sh_keep), one_c).astype(f32)
+            x.append(x[i - 1] * kf + u3[i])
 
-        # segment completions: prefetched dest tile - segment sum
+        # segment completions: prefetched dest tile - scanned slot sum
         meta = segmeta_ref[t]
         cinf = jnp.bitwise_and(meta, one_c).astype(f32)
         for s_ in range(group):
@@ -506,12 +510,13 @@ def _kernel(kind_ref, drain_ref, segmeta_ref, wr_ref, wc_ref, dst_ref,
                 pltpu.make_async_copy(
                     out_hbm.at[pl.ds(dst_ref[t * group + s_], nb)],
                     dtile.at[slot, si], semd_r.at[slot, si]).wait()
-                if s_ == 0:
-                    # the incoming carry belongs to segment 0 when cin
-                    dtile[slot, si] = (dtile[slot, si] - pacc[si]
-                                       - acc[:, :] * cinf)
-                else:
-                    dtile[slot, si] = dtile[slot, si] - pacc[si]
+                # the incoming carry belongs to the step's segment 0
+                segz = (jnp.bitwise_and(
+                    jax.lax.shift_right_logical(
+                        aux_ref[t * group + s_], sh_seg), mask4)
+                    == 0).astype(f32)
+                dtile[slot, si] = (dtile[slot, si] - x[s_]
+                                   - acc[:, :] * (cinf * segz))
                 row = dst_ref[t * group + s_]
                 pltpu.make_async_copy(
                     dtile.at[slot, si], out_hbm.at[pl.ds(row, nb)],
@@ -519,13 +524,10 @@ def _kernel(kind_ref, drain_ref, segmeta_ref, wr_ref, wc_ref, dst_ref,
                 wrow[slot * jnp.int32(group) + si] = row
 
         # carry the open segment's partial across the step boundary
-        oseg = jnp.bitwise_and(
-            jax.lax.shift_right_logical(
-                meta, jnp.int32(_META_OSEG_BITS)), mask4)
         c2f = jnp.bitwise_and(
             jax.lax.shift_right_logical(meta, jnp.int32(_META_C2_BIT)),
             one_c).astype(f32)
-        acc[:, :] = pacc[oseg] + acc[:, :] * c2f
+        acc[:, :] = x[group - 1] + acc[:, :] * c2f
 
     # ------------------------------------------------------------------ #
     def kv_and_max():
@@ -611,7 +613,6 @@ def mega_factorize(poolf, chunks, nb: int, group: int,
                 pltpu.VMEM((2, group, nb, nb), jnp.float32),  # winr
                 pltpu.VMEM((2, group, nb, nb), jnp.float32),  # winc
                 pltpu.VMEM((2, group, nb, nb), jnp.float32),  # dtile
-                pltpu.VMEM((group, nb, nb), jnp.float32),     # pacc
                 pltpu.VMEM((group, nb, nb), jnp.float32),     # pscr
                 pltpu.SMEM((2 * group,), jnp.int32),          # wrow
                 pltpu.SemaphoreType.DMA((2, group)),          # semr

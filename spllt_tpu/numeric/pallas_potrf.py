@@ -79,7 +79,7 @@ def potrf_tiles_body(s_ref, s0, kv, kvmax, *, nb, pb, group,
                   + ((rowi == coli) & (rowi >= kv)).astype(f32))
 
     lane = coli[:, :1, :]                        # [1, 1, nb]
-    sub8 = jax.lax.broadcasted_iota(jnp.int32, (1, pb, 1), 1)
+    qb = 8 if pb % 8 == 0 else pb                # shrink granularity
     for p0 in range(0, nb, pb):
         # panels past the group's widest column count do nothing: rows
         # j >= kv are zeroed by the valid mask and the output mask reads
@@ -87,32 +87,43 @@ def potrf_tiles_body(s_ref, s0, kv, kvmax, *, nb, pb, group,
         # Leaf supernodes (kv << nb) skip most of the elimination.
         @pl.when(p0 < kvmax)
         def _(p0=p0):
-            panel = s_ref[:, p0:p0 + pb, :]      # [G, pb, nb]
-            for jj in range(pb):
-                j = p0 + jj
-                rowjj = panel[:, jj:jj + 1, :]   # [G, 1, nb]
-                dj = jnp.sum(rowjj * (lane == j).astype(f32), axis=2,
-                             keepdims=True)      # [G, 1, 1]
-                valid = (j < kv).astype(f32)
-                inv = jax.lax.rsqrt(
-                    jnp.where(j < kv, dj, jnp.ones((), f32)))
-                urow = rowjj * inv * (lane >= j).astype(f32) * valid
-                # multipliers of the remaining panel rows (col-j entry)
-                mult = jnp.sum(panel * (lane == j).astype(f32), axis=2,
-                               keepdims=True) * inv  # [G, pb, 1]
-                below = (sub8 > jj).astype(f32)
-                panel = (panel * (1.0 - (sub8 == jj).astype(f32))
-                         + urow * (sub8 == jj).astype(f32)
-                         - mult * urow * below)
-            s_ref[:, p0:p0 + pb, :] = panel
-            # trailing rows: S -= Upanelᵀ·Upanel restricted to rows > panel
+            # triangular shrink: eliminated rows are final — write them
+            # back in qb-row groups and drop them from the live panel,
+            # so the per-step elementwise/reduce work shrinks from
+            # [G, pb, nb] to the remaining height (static shapes only)
+            live = s_ref[:, p0:p0 + pb, :]       # [G, h, nb], h shrinks
+            for q0 in range(0, pb, qb):
+                h = pb - q0
+                subh = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1), 1)
+                for jj in range(qb):
+                    j = p0 + q0 + jj
+                    rowjj = live[:, jj:jj + 1, :]    # [G, 1, nb]
+                    dj = jnp.sum(rowjj * (lane == j).astype(f32),
+                                 axis=2, keepdims=True)  # [G, 1, 1]
+                    valid = (j < kv).astype(f32)
+                    inv = jax.lax.rsqrt(
+                        jnp.where(j < kv, dj, jnp.ones((), f32)))
+                    urow = rowjj * inv * (lane >= j).astype(f32) * valid
+                    # multipliers of the live rows (col-j entry)
+                    mult = jnp.sum(live * (lane == j).astype(f32),
+                                   axis=2, keepdims=True) * inv
+                    below = (subh > jj).astype(f32)
+                    live = (live * (1.0 - (subh == jj).astype(f32))
+                            + urow * (subh == jj).astype(f32)
+                            - mult * urow * below)
+                s_ref[:, p0 + q0:p0 + q0 + qb, :] = live[:, :qb, :]
+                if q0 + qb < pb:
+                    live = live[:, qb:, :]
+            # trailing rows: S -= Upanelᵀ·Upanel restricted to rows
+            # below the panel (static sublane slice)
             if p0 + pb < nb:
+                panel = s_ref[:, p0:p0 + pb, :]
                 upd = jax.lax.dot_general(
                     panel, panel, (((1,), (1,)), ((0,), (0,))),
                     precision=precision,
                     preferred_element_type=f32)  # [G, nb, nb]
-                s = s_ref[...]
-                s_ref[...] = jnp.where(rowi >= p0 + pb, s - upd, s)
+                q = p0 + pb
+                s_ref[:, q:, :] = s_ref[:, q:, :] - upd[:, q:, :]
     # lower output [[L, 0], [B·L^{-T}, 0]]
     out = jnp.swapaxes(s_ref[...], 1, 2)
     return out * ((coli < kv) & (rowi >= coli)).astype(f32)

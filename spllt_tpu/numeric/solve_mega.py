@@ -95,16 +95,16 @@ def chunk_solve_runs(runs, group: int, nb: int, work_scratch: int,
     (padded factor tasks write masked zeros) and the work scratch
     window only ever receives zeros, so padded tasks are exact no-ops.
     """
-    # balance chunk sizes so the shared-shape padding nearly vanishes
-    # (greedy fill pads the small tail chunk up to the longest one)
+    # balance chunk sizes so the shared-shape padding nearly vanishes:
+    # cut the stream at exact group boundaries every tgt steps (runs
+    # straddling a cut are split there — the cut closes open dest
+    # groups, whose partial RMWs commute)
     total = sum(-(-len(r["wS"]) // group) * group for r in runs)
-    if total > kmax:
-        nchunks = -(-total // kmax)
-        kmax = min(kmax, -(-total // (nchunks * group)) * group
-                   + 2 * group)
+    nchunks = max(1, -(-total // kmax))
+    tgt = -(-(total // group) // nchunks)
     chunks = []
     cur = None
-    ntask = 0
+    room = 0
 
     def flush():
         nonlocal cur
@@ -122,7 +122,6 @@ def chunk_solve_runs(runs, group: int, nb: int, work_scratch: int,
         })
         cur = None
 
-    seg = max(group, kmax - kmax % group)
     for run in runs:
         kind = run["kind"]
         k = len(run["wS"])
@@ -133,8 +132,13 @@ def chunk_solve_runs(runs, group: int, nb: int, work_scratch: int,
         aux = np.concatenate([run["aux"], np.zeros(kp - k, np.int64)])
         rel = np.concatenate(
             [run["rel"], np.full((kp - k, nb), -1, np.int32)], axis=0)
-        for s0 in range(0, kp, seg):
-            s1 = min(kp, s0 + seg)
+        s0 = 0
+        while s0 < kp:
+            if cur is None:
+                cur = {"kind": [], "drain": [], "wA": [], "wS": [],
+                       "dst": [], "aux": [], "rel": []}
+                room = tgt
+            s1 = min(kp, s0 + room * group)
             sl = slice(s0, s1)
             if kind in (KIND_ADDG, KIND_MM, KIND_MMT):
                 d = dst[sl]
@@ -150,11 +154,6 @@ def chunk_solve_runs(runs, group: int, nb: int, work_scratch: int,
             else:
                 aux_seg = aux[sl]
             nsteps = (s1 - s0) // group
-            if cur is None or ntask + (s1 - s0) > kmax:
-                flush()
-                cur = {"kind": [], "drain": [], "wA": [], "wS": [],
-                       "dst": [], "aux": [], "rel": []}
-                ntask = 0
             cur["kind"].extend([kind] * nsteps)
             cur["drain"].extend([1] + [0] * (nsteps - 1))
             cur["wA"].append(wA[sl])
@@ -162,7 +161,10 @@ def chunk_solve_runs(runs, group: int, nb: int, work_scratch: int,
             cur["dst"].append(dst[sl])
             cur["aux"].append(aux_seg)
             cur["rel"].append(rel[sl])
-            ntask += s1 - s0
+            room -= nsteps
+            if room <= 0:
+                flush()
+            s0 = s1
     flush()
     # pad chunks to one static shape -> ONE pallas program for all
     # chunks of a direction (same trick as megakernel.pad_chunks_uniform;
