@@ -62,6 +62,14 @@ from .pallas_update import build_micro_tasks, onehot_gather
 
 __all__ = ["build_mega_stream", "mega_factorize", "MegaFactorExecutor"]
 
+
+def rel_dtype(nb: int):
+    """Narrowest dtype for the relr/relc position maps: entries are
+    window-relative (in [-1, nb)), so int8 suffices at nb <= 128.  At
+    Poisson 96³ the int32 maps were 3.9 GB of HBM — the term that
+    pushed the single-chip footprint over the v5e's 16 GB."""
+    return np.int8 if nb <= 128 else np.int16
+
 KIND_UPD, KIND_POTRF, KIND_TRSM = 0, 1, 2
 KIND_NOOP = -1           # padded steps: no loads, no compute, no writes
 # UPD aux bit layout (per slot i of a step): bits 0-9 blkn of task i,
@@ -249,8 +257,10 @@ def build_mega_stream(fp, group: int, pool_rows: int,
             "wc": np.concatenate(cur["wc"]).astype(np.int32),
             "dst": np.concatenate(cur["dst"]).astype(np.int32),
             "aux": np.concatenate(cur["aux"]).astype(np.int32),
-            "relr": np.concatenate(cur["relr"], axis=0),
-            "relc": np.concatenate(cur["relc"], axis=0),
+            "relr": np.concatenate(cur["relr"], axis=0).astype(
+                rel_dtype(nb)),
+            "relc": np.concatenate(cur["relc"], axis=0).astype(
+                rel_dtype(nb)),
         })
         cur = None
 
@@ -322,7 +332,7 @@ def pad_chunks_uniform(chunks, group: int, nb: int, scratch: int):
         c["aux"] = np.concatenate([c["aux"], np.zeros(k, np.int32)])
         for nm in ("relr", "relc"):
             c[nm] = np.concatenate(
-                [c[nm], np.full((k, nb), -1, np.int32)], axis=0)
+                [c[nm], np.full((k, nb), -1, c[nm].dtype)], axis=0)
     return chunks
 
 
@@ -467,8 +477,10 @@ def _kernel(kind_ref, drain_ref, segmeta_ref, wr_ref, wc_ref, dst_ref,
         bkv = scalars_to_vec(
             [jnp.bitwise_and(aux_ref[t * group + i], mask_c)
              for i in range(group)], group)
-        rr3 = relr[...][:, :, None]              # [G, nb, 1]
-        rc3 = relc[...][:, :, None]
+        # rel maps ship as int8/int16 (window-relative entries < nb);
+        # widen once for the iota compares
+        rr3 = relr[...].astype(jnp.int32)[:, :, None]    # [G, nb, 1]
+        rc3 = relc[...].astype(jnp.int32)[:, :, None]
         if "gather" in ablate:
             r3 = winr[slot]
             c3 = jnp.where(rowi < bkv, winc[slot], 0.0)

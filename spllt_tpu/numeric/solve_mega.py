@@ -46,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..plan.solve_mega import (KIND_ADDG, KIND_MM, KIND_MMT, KIND_NOOP,
                                KIND_SOL, KIND_SOLT, build_solve_mega_plan)
+from .megakernel import rel_dtype
 from .pallas_potrf import scalars_to_vec
 from .pallas_solve import solve_tiles_body
 
@@ -118,7 +119,8 @@ def chunk_solve_runs(runs, group: int, nb: int, work_scratch: int,
             "wS": np.concatenate(cur["wS"]).astype(np.int32),
             "dst": np.concatenate(cur["dst"]).astype(np.int32),
             "aux": np.concatenate(cur["aux"]).astype(np.int32),
-            "rel": np.concatenate(cur["rel"], axis=0).astype(np.int32),
+            "rel": np.concatenate(cur["rel"], axis=0).astype(
+                rel_dtype(nb)),
         })
         cur = None
 
@@ -189,7 +191,8 @@ def chunk_solve_runs(runs, group: int, nb: int, work_scratch: int,
             c["aux"] = np.concatenate(
                 [c["aux"], np.full(k, 3, np.int32)])   # first|last
             c["rel"] = np.concatenate(
-                [c["rel"], np.full((k, nb), -1, np.int32)], axis=0)
+                [c["rel"], np.full((k, nb), -1, c["rel"].dtype)],
+                axis=0)
     return chunks
 
 
@@ -322,7 +325,7 @@ def _kernel(kind_ref, drain_ref, wa_ref, ws_ref, dst_ref, aux_ref,
         # u[g, :, i] = src[g, :, rel[i]]: right-onehot with
         # pon[g, j, i] = (rel[i] == j)
         iot3 = jax.lax.broadcasted_iota(jnp.int32, (group, nb, nb), 1)
-        r3 = rel[...][:, None, :]                # [G, 1, nb]
+        r3 = rel[...].astype(jnp.int32)[:, None, :]      # [G, 1, nb]
         pon = (iot3 == r3) & (r3 >= 0)
         u3 = onehot_gather_right(winb[slot], pon)
         rmw(u3, +1)

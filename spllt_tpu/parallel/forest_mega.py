@@ -67,7 +67,7 @@ def _pad_streams_uniform(streams, group: int, nb: int, scratch_row: int):
     stacked tables are SPMD-uniform (same trick as
     megakernel.pad_chunks_uniform, extended across devices).  Appended
     chunks / steps are all-scratch no-op UPD runs."""
-    from ..numeric.megakernel import KIND_NOOP
+    from ..numeric.megakernel import KIND_NOOP, rel_dtype
 
     cmax = max(len(s) for s in streams)
     tmax = max((len(c["kind"]) for s in streams for c in s), default=0)
@@ -85,8 +85,8 @@ def _pad_streams_uniform(streams, group: int, nb: int, scratch_row: int):
             "dst": np.full(k, scratch_row, np.int32),
             # keep=0, sact=0, seg=0: padded slots do no RMW at all
             "aux": np.zeros(k, np.int32),
-            "relr": np.full((k, nb), -1, np.int32),
-            "relc": np.full((k, nb), -1, np.int32),
+            "relr": np.full((k, nb), -1, rel_dtype(nb)),
+            "relc": np.full((k, nb), -1, rel_dtype(nb)),
         }
 
     out = []
@@ -111,7 +111,8 @@ def _pad_streams_uniform(streams, group: int, nb: int, scratch_row: int):
                     [c["aux"], np.zeros(k, np.int32)])
                 for nm in ("relr", "relc"):
                     c[nm] = np.concatenate(
-                        [c[nm], np.full((k, nb), -1, np.int32)], axis=0)
+                        [c[nm], np.full((k, nb), -1, c[nm].dtype)],
+                        axis=0)
             padded.append(c)
         while len(padded) < cmax:
             padded.append(noop_chunk())
