@@ -353,6 +353,48 @@ int spllt_supernodes(int64_t n, const int64_t *colptr,
 }
 
 // ---------------------------------------------------------------------
+// Random-order heavy-edge matching (one coarsening level of the
+// multilevel nested-dissection ordering, spllt_tpu.analyse.nd).  The
+// per-vertex Python loop is the ND ordering's hot spot at scale
+// (ADVICE r4 #3); identical traversal order => identical matching.
+extern "C" int spllt_hem(int64_t n, const int64_t *indptr,
+                         const int64_t *indices, const double *data,
+                         const int64_t *order, int64_t *cmap,
+                         int64_t *nc_out) {
+    std::vector<int64_t> match(n, -1);
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t v = order[i];
+        if (match[v] >= 0) continue;
+        int64_t best = -1;
+        double bw = -1.0;
+        for (int64_t k = indptr[v]; k < indptr[v + 1]; ++k) {
+            const int64_t u = indices[k];
+            if (match[u] < 0 && u != v && data[k] > bw) {
+                best = u;
+                bw = data[k];
+            }
+        }
+        if (best >= 0) {
+            match[v] = best;
+            match[best] = v;
+        } else {
+            match[v] = v;
+        }
+    }
+    int64_t nc = 0;
+    for (int64_t v = 0; v < n; ++v) cmap[v] = -1;
+    for (int64_t v = 0; v < n; ++v) {
+        if (cmap[v] < 0) {
+            cmap[v] = nc;
+            cmap[match[v]] = nc;
+            ++nc;
+        }
+    }
+    *nc_out = nc;
+    return 0;
+}
+
+// ---------------------------------------------------------------------
 // Factor-plan task enumeration fast path.  Mirrors the Python loops of
 // spllt_tpu.plan.factor_tasks.build_factor_plan (non-coarse path) —
 // intra-node right-looking task emission with phase-aware ASAP levels

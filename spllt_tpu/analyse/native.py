@@ -211,3 +211,29 @@ def native_factor_plan_or_none(sparent, plan):
     lib.spllt_plan_free.restype = None
     lib.spllt_plan_free(out)
     return res
+
+
+def native_hem_or_none(indptr, indices, data, order):
+    """Heavy-edge matching via the native library, or None.
+
+    Returns (cmap, nc) identical to the Python loop in analyse.nd
+    (same traversal order, same tie-breaking)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "spllt_hem"):
+        return None
+    n = len(indptr) - 1
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    data = np.ascontiguousarray(data, dtype=np.float64)
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    cmap = np.empty(n, dtype=np.int64)
+    nc = np.zeros(1, dtype=np.int64)
+    p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    lib.spllt_hem.restype = ctypes.c_int
+    rc = lib.spllt_hem(
+        ctypes.c_int64(n), p(indptr), p(indices),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        p(order), p(cmap), p(nc))
+    if rc != 0:
+        return None
+    return cmap, int(nc[0])

@@ -177,11 +177,18 @@ def _cut_weight(g, part):
 
 
 def _heavy_edge_matching(g, vwgt, rng):
-    """Random-order heavy-edge matching; returns (coarse_map, nc)."""
+    """Random-order heavy-edge matching; returns (coarse_map, nc).
+
+    The C++ twin (native/symbolic.cpp spllt_hem) follows the identical
+    traversal, so results match exactly; this loop is the fallback."""
     n = g.shape[0]
     indptr, indices, data = g.indptr, g.indices, g.data
-    match = np.full(n, -1, dtype=np.int64)
     order = rng.permutation(n)
+    from .native import native_hem_or_none
+    res = native_hem_or_none(indptr, indices, data, order)
+    if res is not None:
+        return res
+    match = np.full(n, -1, dtype=np.int64)
     for v in order:
         if match[v] >= 0:
             continue

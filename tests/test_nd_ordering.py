@@ -6,6 +6,7 @@ replaces it for irregular patterns.
 """
 
 import numpy as np
+import pytest
 
 from spllt_tpu import Options, analyse, factor, make_rhs, solve
 from spllt_tpu.analyse.nd import nd_ordering
@@ -38,3 +39,40 @@ def test_nd_quality_vs_amd_on_fem():
         s = analyse(a, Options(ordering=meth, nemin=32, prune_tree=False))
         res[meth] = s.inform.num_factor
     assert res["nd"] <= 1.15 * res["amd"]
+
+
+def test_hem_native_parity():
+    """native/symbolic.cpp spllt_hem must match the Python matching
+    loop exactly (same traversal order and tie-breaking)."""
+    import importlib
+
+    import scipy.sparse as sp
+
+    nat = importlib.import_module("spllt_tpu.analyse.native")
+    nd_mod = importlib.import_module("spllt_tpu.analyse.nd")
+    if not nat.native_available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(3)
+    n = 400
+    a = sp.random(n, n, 0.03, random_state=5)
+    g = (a + a.T).tocsr()
+    g.setdiag(0)
+    g.eliminate_zeros()
+    g.data[:] = np.abs(g.data)
+    order = rng.permutation(n)
+    res = nat.native_hem_or_none(g.indptr, g.indices, g.data, order)
+    assert res is not None
+    orig = nat.native_hem_or_none
+    nat.native_hem_or_none = lambda *a_: None
+
+    class _R:
+        def permutation(self, _m):
+            return order
+
+    try:
+        cmap_py, nc_py = nd_mod._heavy_edge_matching(
+            g, np.ones(n), _R())
+    finally:
+        nat.native_hem_or_none = orig
+    assert nc_py == res[1]
+    assert np.array_equal(cmap_py, res[0])
