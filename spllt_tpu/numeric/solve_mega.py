@@ -472,20 +472,15 @@ class MegaSolveExecutor:
         self.nr = nr
         nb_ = plan.nb
         if group is None:
-            # measured on TPU v5e (32^3 nb=128 nemin=192, fwd+bwd):
-            #   nr=8:  G=16 17.6 ms, G=8 18.2, G=32 70.8 (VMEM-bound)
-            #   nr=64: G=8 60.3 ms,  G=16 96.2, G=32 142
-            # wide rhs panels blow the window VMEM budget, so shrink the
-            # group as nr grows; Pallas needs the (group, nb) rel block's
-            # sublane dim divisible by 8, so 8 is the floor.
-            group = 2 if self._interpret else (16 if nr <= 8 else 8)
-            # the 16/8 defaults are measured at nb=128 only; for larger
-            # legal nb (any nb % 128 == 0) clamp to the VMEM window
-            # budget the scratch shapes below imply:
-            #   4 bytes * (2 G nb² [wina] + 3 G nr nb [winb+yscr]) ≲ 10 MiB
-            while (not self._interpret and group > 8
-                   and 4 * group * nb_ * (2 * nb_ + 3 * nr) > 10 << 20):
-                group //= 2
+            # measured on TPU v5e (nb=128 nemin=192, fwd+bwd):
+            #   32³ nr=1:  G=16 17.6 ms, G=8 18.2, G=32 70.8 (VMEM)
+            #   32³ nr=64: G=8 60.3 ms,  G=16 96.2, G=32 142
+            #   64³ nr=1:  G=8 216 ms,   G=16 540  (2.5× WORSE)
+            # G=16's 3% edge at 32³/nr≤8 inverts catastrophically at
+            # scale, so G=8 is the default everywhere; Pallas needs the
+            # (group, nb) rel block's sublane dim divisible by 8, so 8
+            # is also the floor.
+            group = 2 if self._interpret else 8
         if (not self._interpret
                 and 4 * group * nb_ * (2 * nb_ + 3 * nr) > 24 << 20):
             # even the floor group cannot fit VMEM (huge nb × wide rhs):
